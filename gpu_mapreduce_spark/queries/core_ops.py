@@ -1,0 +1,179 @@
+"""Oracle-checked queries for the core KV algebra (SURVEY.md §2.1), over the
+`kvpairs` fixture (k = returnflag||linestatus, v = linenumber).
+
+Array-valued outputs are emitted as canonical comma-joined strings so the
+value-hash is engine-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.operators import core
+from gpu_mapreduce_spark.registry import register
+from gpu_mapreduce_spark.sources import fixtures
+
+_KV = fixtures.duckdb_with("kvpairs")
+
+
+@register(
+    "collate",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, array_to_string(list_sort(list(v)), ',') AS vals
+        FROM kvpairs GROUP BY k
+    """,
+)
+def collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = fixtures.kvpairs(spark, sf_dir)
+    out = core.collate(kv)  # k, vals ARRAY<INT> (sorted)
+    return out.select(
+        "k",
+        F.array_join(F.transform("vals", lambda x: x.cast("string")), ",").alias(
+            "vals"
+        ),
+    )
+
+
+@register(
+    "compress_sum",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, CAST(SUM(v) AS BIGINT) AS sum FROM kvpairs GROUP BY k
+    """,
+)
+def compress_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = fixtures.kvpairs(spark, sf_dir)
+    return core.compress(kv, agg="sum").withColumn("sum", F.col("sum").cast("bigint"))
+
+
+@register(
+    "cull_distinct",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT DISTINCT k, v FROM kvpairs
+    """,
+)
+def cull_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core.cull(fixtures.kvpairs(spark, sf_dir))
+
+
+@register(
+    "invert_count",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, COUNT(*) AS cnt
+        FROM (SELECT v AS k, k AS v FROM kvpairs)
+        GROUP BY k
+    """,
+)
+def invert_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = core.invert(fixtures.kvpairs(spark, sf_dir))
+    return kv.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "collapse_all",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT 'all' AS key,
+               array_to_string(list_sort(list(k || ':' || CAST(v AS VARCHAR))), ' ') AS pairs,
+               COUNT(*) AS n
+        FROM kvpairs
+    """,
+)
+def collapse_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = fixtures.kvpairs(spark, sf_dir)
+    packed = F.concat("k", F.lit(":"), F.col("v").cast("string"))
+    return kv.agg(
+        F.lit("all").alias("key"),
+        F.array_join(F.array_sort(F.collect_list(packed)), " ").alias("pairs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "union_counts",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, COUNT(*) AS cnt FROM (
+            SELECT k, v FROM kvpairs
+            UNION ALL
+            SELECT o_orderpriority AS k, CAST(o_orderkey % 100 AS INTEGER) AS v FROM orders
+        ) GROUP BY k
+    """,
+)
+def union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpu_mapreduce_spark.sources.tables import table
+
+    kv = fixtures.kvpairs(spark, sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("k"),
+        (F.col("o_orderkey") % 100).cast("int").alias("v"),
+    )
+    return core.add(kv, o).groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "sorted_head",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, v FROM kvpairs ORDER BY k, v LIMIT 100
+    """,
+)
+def sorted_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort_keys + limit; the multiset of the first 100 rows under a
+    total order on (k,v) is deterministic even with duplicate rows."""
+    kv = fixtures.kvpairs(spark, sf_dir)
+    return core.topk(kv, [F.asc("k"), F.asc("v")], 100)
+
+
+@register(
+    "topk_by_value",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, v FROM kvpairs ORDER BY v DESC, k LIMIT 10
+    """,
+)
+def topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = fixtures.kvpairs(spark, sf_dir)
+    return core.topk(kv, [F.desc("v"), F.asc("k")], 10)
+
+
+@register(
+    "kv_stats",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT COUNT(*) AS nkv, COUNT(DISTINCT k) AS nkeys,
+               MIN(v) AS vmin, MAX(v) AS vmax,
+               CAST(SUM(LENGTH(CAST(k AS VARCHAR))) AS BIGINT) AS key_bytes
+        FROM kvpairs
+    """,
+)
+def kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core.kv_stats(fixtures.kvpairs(spark, sf_dir))
+
+
+@register(
+    "histo",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT cnt, COUNT(*) AS nkeys
+        FROM (SELECT k, COUNT(*) AS cnt FROM kvpairs GROUP BY k)
+        GROUP BY cnt
+        ORDER BY cnt DESC
+    """,
+)
+def histo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core.histo(fixtures.kvpairs(spark, sf_dir))

@@ -1,0 +1,121 @@
+"""Relational/SQL capability queries.
+
+The reference has no SQL layer (SURVEY.md §0) — its "queries" are hand-coded
+MR pipelines. This module demonstrates the declarative spine the engine is
+built on: scan → (pushed) filter → partial agg → shuffle → agg → sort →
+limit, plus real joins (which the reference fakes via add+collate+tag-dispatch
+reduces, SURVEY.md §2.1 note).
+
+Scale notes: q1 is a pure map-side-combinable aggregation on 6 groups (flat
+scaling); q3 joins fact tables against a filtered dim — the dim side is
+broadcast so the lineitem scan never shuffles for the join, and the final
+top-k is TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from gpu_mapreduce_spark.registry import register
+from gpu_mapreduce_spark.sources.tables import table
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("relational", "flagship"),
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship end-to-end slice (SURVEY.md §7 step 1).
+
+    Filter pushes to the parquet scan; 8 aggregates over 6 groups partial-
+    aggregate map-side, so the shuffle carries only a handful of rows per
+    partition at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(price).alias("sum_base_price"),
+            dsum(price * (1 - disc)).alias("sum_disc_price"),
+            dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(price).alias("avg_price"),
+            davg(disc).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    bench=True,
+    tags=("relational", "join"),
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: two joins + agg + total-order top-k.
+
+    customer (filtered on segment) is tiny relative to lineitem → explicit
+    broadcast; orders is mid-sized and joins lineitem on its key. At cluster
+    scale orders/lineitem would be co-bucketed on orderkey; here AQE picks
+    the strategy.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    # broadcast only the filtered dim (customer); orders⋈lineitem stays a
+    # key-partitioned big-big join (bucketable on orderkey at cluster scale)
+    co = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        l.join(co, l.l_orderkey == co.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,214 @@
+"""Deterministic derived fixtures (FIXTURES.md).
+
+The reference consumes edge lists, word streams, HTML part-files and binary
+int streams (SURVEY.md §1.4). The driver's tables are TPC-H-ish, so we derive
+those input shapes from them with pure arithmetic/string expressions — no RNG —
+so the exact same fixture is computable by Spark (DataFrame builders below)
+and by DuckDB (CTE strings below) and every operator stays oracle-checkable.
+
+IMPORTANT: each fixture exists twice — a Spark builder and a DuckDB SQL CTE.
+They MUST stay in sync; the oracle-parity tests (tests/test_parity.py) enforce
+this for every registered query, so drift shows up as a hash mismatch.
+
+Graph shape: `edges_raw` = a pseudo-random multigraph on V=4000 vertices from
+lineitem arithmetic (duplicates + self-loops kept, so edge_upper has work to
+do, mirroring oink/map_read_edge.cpp raw input) UNION a 25-clique on vertices
+0..24 from nation×nation (guarantees ≥ C(25,3)=2300 triangles at every scale
+factor). `edges` = canonicalized via edge_upper semantics
+(oink/map_edge_upper.cpp). `wedges` adds a deterministic weight in (0,1]
+(oink/map_read_edge_weight.cpp shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.sources.tables import table
+
+NUM_VERTICES = 4000  # vertex-id space of the derived graph
+NUM_FILES = 64  # inverted-index corpus part-file count
+NUM_URLS = 50  # distinct urls embedded in the corpus
+
+# ---------------------------------------------------------------------------
+# DuckDB side: each fixture as a SQL query over the pre-registered base views.
+# ---------------------------------------------------------------------------
+
+DUCKDB_FIXTURE_SQL: dict[str, str] = {
+    # generic (key,value) stream — histo/collate/compress input (oink/histo.cpp)
+    "kvpairs": """
+        SELECT l_returnflag || l_linestatus AS k, l_linenumber AS v
+        FROM lineitem
+    """,
+    # 32-bit int stream — IntCount input (cpu/IntCount.cpp:179-180)
+    "ints": """
+        SELECT CAST(l_partkey % 1000 AS INTEGER) AS v
+        FROM lineitem
+    """,
+    # whitespace token stream — wordfreq input (examples/wordfreq.cpp:120-129)
+    "words": """
+        SELECT doc_id, w AS word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''
+    """,
+    # HTML-ish part-file corpus with <a href="..."> anchors — InvertedIndex
+    # input (cuda/InvertedIndex.cu:284-307). Many doc rows collapse into one
+    # "file"; anchors are deterministic functions of doc_id.
+    "docs": """
+        SELECT
+            'part-' || lpad(CAST(doc_id % 64 AS VARCHAR), 5, '0') AS filename,
+            text
+            || ' <a href="url-' || CAST((doc_id * 3) % 50 AS VARCHAR) || '">x</a>'
+            || ' <a href="url-' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) || '">y</a>'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' <a href="url-' || CAST((doc_id * 13 + 2) % 50 AS VARCHAR) || '">z</a>'
+                    ELSE '' END AS text
+        FROM documents
+    """,
+    # raw multigraph: dupes + self-loops possible; clique on 0..24 appended
+    "edges_raw": """
+        SELECT CAST((l_orderkey * 37 + l_linenumber) % 4000 AS BIGINT) AS src,
+               CAST((l_partkey * 53 + l_suppkey) % 4000 AS BIGINT) AS dst
+        FROM lineitem
+        UNION ALL
+        SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+        FROM nation a, nation b
+        WHERE a.n_nationkey < b.n_nationkey
+    """,
+    # canonical undirected simple graph (edge_upper semantics:
+    # oink/map_edge_upper.cpp — min/max endpoints, drop self-loops, dedupe)
+    "edges": """
+        SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM edges_raw
+        WHERE src <> dst
+    """,
+    # weighted edges, weight in (0,1] (oink/map_read_edge_weight.cpp shape)
+    "wedges": """
+        SELECT src, dst,
+               CAST(((src * 31 + dst) % 97 + 1) AS DOUBLE) / 97.0 AS weight
+        FROM edges
+    """,
+}
+
+_FIXTURE_DEPS: dict[str, list[str]] = {
+    "edges": ["edges_raw"],
+    "wedges": ["edges_raw", "edges"],
+}
+
+
+def duckdb_with(*names: str) -> str:
+    """Compose a `WITH f1 AS (...), f2 AS (...)` prefix for an oracle query,
+    resolving fixture dependencies in order."""
+    ordered: list[str] = []
+    for n in names:
+        for dep in _FIXTURE_DEPS.get(n, []) + [n]:
+            if dep not in ordered:
+                ordered.append(dep)
+    parts = [f"{n} AS ({DUCKDB_FIXTURE_SQL[n]})" for n in ordered]
+    return "WITH " + ",\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Spark side: DataFrame builders mirroring the SQL above 1:1.
+# ---------------------------------------------------------------------------
+
+
+def kvpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat("l_returnflag", "l_linestatus").alias("k"),
+        F.col("l_linenumber").alias("v"),
+    )
+
+
+def ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select((F.col("l_partkey") % 1000).cast("int").alias("v"))
+
+
+def words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+
+    def url(expr):
+        return F.concat(F.lit(' <a href="url-'), expr.cast("string"), F.lit('">'))
+
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(
+            F.lit("part-"), F.lpad((did % 64).cast("string"), 5, "0")
+        ).alias("filename"),
+        F.concat(
+            F.col("text"),
+            url((did * 3) % 50), F.lit("x</a>"),
+            url((did * 7 + 1) % 50), F.lit("y</a>"),
+            F.when(
+                did % 3 == 0,
+                F.concat(url((did * 13 + 2) % 50), F.lit("z</a>")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    na = table(spark, sf_dir, "nation").alias("a")
+    nb = table(spark, sf_dir, "nation").alias("b")
+    mod_graph = li.select(
+        ((F.col("l_orderkey") * 37 + F.col("l_linenumber")) % NUM_VERTICES)
+        .cast("bigint")
+        .alias("src"),
+        ((F.col("l_partkey") * 53 + F.col("l_suppkey")) % NUM_VERTICES)
+        .cast("bigint")
+        .alias("dst"),
+    )
+    clique = (
+        na.crossJoin(nb)
+        .filter(F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_nationkey").cast("bigint").alias("src"),
+            F.col("b.n_nationkey").cast("bigint").alias("dst"),
+        )
+    )
+    return mod_graph.unionAll(clique)
+
+
+def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = edges_raw(spark, sf_dir)
+    return (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges(spark, sf_dir)
+    return e.select(
+        "src",
+        "dst",
+        (((F.col("src") * 31 + F.col("dst")) % 97 + 1).cast("double") / 97.0).alias(
+            "weight"
+        ),
+    )
+
+
+SPARK_FIXTURES = {
+    "kvpairs": kvpairs,
+    "ints": ints,
+    "words": words,
+    "docs": docs,
+    "edges_raw": edges_raw,
+    "edges": edges,
+    "wedges": wedges,
+}

@@ -1,0 +1,51 @@
+"""Parquet table sources.
+
+The reference reads inputs via its three `map()` file variants — file list,
+recursive dirs, record-boundary-safe chunking (src/mapreduce.cpp:1060-1558).
+Spark's DataSource framework subsumes all of that: `spark.read.parquet` gives
+splittable columnar scans with predicate pushdown and column pruning, and
+`spark.read.text` / `binaryFile` with `recursiveFileLookup` cover the
+text/binary corpus cases (see sources/text_corpus.py).
+
+At 100 TB the scan layer is where most time goes, so every query in this repo
+is written to keep filters and projections at the scan (verify via
+`.explain("formatted")` → `PushedFilters` / `ReadSchema`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one base table as a DataFrame (lazy; scan-level pruning applies)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all base tables and register them as temp views.
+
+    Registration makes `spark.sql` usable alongside the DataFrame API with the
+    same table names the DuckDB oracle sees.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
