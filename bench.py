@@ -4,9 +4,11 @@ bench=True) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count()-style full materialization (collect of
-the final, already-small result) after a warm-up of the session; per-query
-wall time includes planning + execution.
+Each query is fully materialized with collect() — never count(), which lets
+Catalyst prune aggregate expressions the count doesn't need (so e.g. an
+expensive collect_set would be timed away). Headline results are small by
+construction (top-k / histograms), so collect is safe and forces every
+expression. Per-query wall time includes planning + execution.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def main() -> None:
     for name, q in sorted(queries.items()):
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
-        n = df.count()
+        n = len(df.collect())  # full materialization: no expression pruning
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 

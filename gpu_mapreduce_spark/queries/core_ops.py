@@ -161,7 +161,94 @@ def topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return core.kv_stats(fixtures.kvpairs(spark, sf_dir))
+    # exact distinct count: required for oracle parity; approx is the
+    # scale default (operators/core.py kv_stats docstring)
+    return core.kv_stats(fixtures.kvpairs(spark, sf_dir), exact=True)
+
+
+@register(
+    "scrunch_all",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT 'all' AS key,
+               array_to_string(list_sort(list(k || ':' || CAST(v AS VARCHAR))), ' ') AS pairs
+        FROM kvpairs
+    """,
+)
+def scrunch_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gather(1) + per-partition collapse (src/mapreduce.cpp:2075-2100).
+    With nprocs=1 the per-partition form is global, so it is oracle-able."""
+    kv = fixtures.kvpairs(spark, sf_dir)
+    out = core.scrunch(kv, 1, "all")  # _part, key, pairs ARRAY<STRUCT<k,v>>
+    return out.select(
+        "key",
+        F.array_join(
+            F.transform("pairs", lambda p: F.concat(p.k, F.lit(":"), p.v.cast("string"))),
+            " ",
+        ).alias("pairs"),
+    )
+
+
+@register(
+    "aggregate_partitioning",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT DISTINCT k, 1 AS nparts FROM kvpairs
+    """,
+)
+def aggregate_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit hash shuffle (src/mapreduce.cpp:385-563) with its contract as
+    the checked output: after aggregate(kv, n, k) every key lives in exactly
+    one partition."""
+    kv = core.aggregate(fixtures.kvpairs(spark, sf_dir), 8, "k")
+    return (
+        kv.withColumn("_pid", F.spark_partition_id())
+        .groupBy("k")
+        .agg(F.countDistinct("_pid").cast("int").alias("nparts"))
+    )
+
+
+@register(
+    "combiner_concat",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k,
+               array_to_string(list_sort(list(CAST(v AS VARCHAR))), ' ') AS vals
+        FROM kvpairs GROUP BY k
+    """,
+)
+def combiner_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `combiner` (cuda/InvertedIndex.cu:413-456): concatenate each
+    key's values into one space-separated string."""
+    from gpu_mapreduce_spark.operators.text import combiner_concat as cc
+
+    return cc(fixtures.kvpairs(spark, sf_dir))
+
+
+@register(
+    "reduce_median",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, CAST(median(v) AS DOUBLE) AS med FROM kvpairs GROUP BY k
+    """,
+)
+def reduce_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (non-algebraic) `reduce` via Arrow-batched applyInPandas
+    (src/mapreduce.cpp:1769-1872): per-group median can't be expressed as a
+    partial-aggregable builtin combination, so it exercises the real
+    reduce-callback path the reference exposes."""
+    import pandas as pd
+
+    kv = fixtures.kvpairs(spark, sf_dir)
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "med": [float(pdf["v"].median())]})
+
+    return core.group_apply(kv, "k", med, "k string, med double")
 
 
 @register(

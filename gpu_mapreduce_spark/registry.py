@@ -7,10 +7,10 @@ This is the single source of truth consumed by `__spark_entry__.py`
 Determinism rules every registered query follows (so the driver's
 order-insensitive value-hash matches):
   - Every computed column is aliased identically in Spark and SQL.
-  - DOUBLE aggregations are computed exactly: per-row arithmetic in DOUBLE,
-    cast to DECIMAL(18,4) (order-independent exact sum), final cast back to
-    DOUBLE. Averages divide the exact double sum by the count in DOUBLE.
-    Never rely on float summation order.
+  - DOUBLE aggregations are computed exactly via the fixed-point discipline in
+    functions/numeric.py: per-row arithmetic in DOUBLE, FLOOR(x * 10000) to a
+    BIGINT, exact integer sum, final divide-by-10000 back to DOUBLE. Averages
+    divide that exact sum by the count. Never rely on float summation order.
   - LIMIT queries carry a total order (ties broken by key columns).
   - Timestamps are output as epoch milliseconds or DATE, never raw
     timestamp (engine formatting differs).

@@ -45,10 +45,12 @@ DUCKDB_FIXTURE_SQL: dict[str, str] = {
         SELECT CAST(l_partkey % 1000 AS INTEGER) AS v
         FROM lineitem
     """,
-    # whitespace token stream — wordfreq input (examples/wordfreq.cpp:120-129)
-    "words": """
+    # whitespace token stream — wordfreq input; any-whitespace rule matching
+    # the reference tokenizer (examples/wordfreq.cpp:120-129, strtok " \t\n")
+    "words": r"""
         SELECT doc_id, w AS word
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+              FROM documents)
         WHERE w <> ''
     """,
     # HTML-ish part-file corpus with <a href="..."> anchors — InvertedIndex
@@ -56,19 +58,19 @@ DUCKDB_FIXTURE_SQL: dict[str, str] = {
     # "file"; anchors are deterministic functions of doc_id.
     "docs": """
         SELECT
-            'part-' || lpad(CAST(doc_id % 64 AS VARCHAR), 5, '0') AS filename,
+            'part-' || lpad(CAST(doc_id % {NUM_FILES} AS VARCHAR), 5, '0') AS filename,
             text
-            || ' <a href="url-' || CAST((doc_id * 3) % 50 AS VARCHAR) || '">x</a>'
-            || ' <a href="url-' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) || '">y</a>'
+            || ' <a href="url-' || CAST((doc_id * 3) % {NUM_URLS} AS VARCHAR) || '">x</a>'
+            || ' <a href="url-' || CAST((doc_id * 7 + 1) % {NUM_URLS} AS VARCHAR) || '">y</a>'
             || CASE WHEN doc_id % 3 = 0
-                    THEN ' <a href="url-' || CAST((doc_id * 13 + 2) % 50 AS VARCHAR) || '">z</a>'
+                    THEN ' <a href="url-' || CAST((doc_id * 13 + 2) % {NUM_URLS} AS VARCHAR) || '">z</a>'
                     ELSE '' END AS text
         FROM documents
     """,
     # raw multigraph: dupes + self-loops possible; clique on 0..24 appended
     "edges_raw": """
-        SELECT CAST((l_orderkey * 37 + l_linenumber) % 4000 AS BIGINT) AS src,
-               CAST((l_partkey * 53 + l_suppkey) % 4000 AS BIGINT) AS dst
+        SELECT CAST((l_orderkey * 37 + l_linenumber) % {NUM_VERTICES} AS BIGINT) AS src,
+               CAST((l_partkey * 53 + l_suppkey) % {NUM_VERTICES} AS BIGINT) AS dst
         FROM lineitem
         UNION ALL
         SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
@@ -88,6 +90,15 @@ DUCKDB_FIXTURE_SQL: dict[str, str] = {
                CAST(((src * 31 + dst) % 97 + 1) AS DOUBLE) / 97.0 AS weight
         FROM edges
     """,
+}
+
+# Interpolate the shared constants so both engines derive from one definition
+# (editing NUM_* can never silently desync Spark from the oracle).
+DUCKDB_FIXTURE_SQL = {
+    name: sql.format(
+        NUM_VERTICES=NUM_VERTICES, NUM_FILES=NUM_FILES, NUM_URLS=NUM_URLS
+    )
+    for name, sql in DUCKDB_FIXTURE_SQL.items()
 }
 
 _FIXTURE_DEPS: dict[str, list[str]] = {
@@ -129,7 +140,7 @@ def ints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )
 
@@ -143,15 +154,15 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id")
     return d.select(
         F.concat(
-            F.lit("part-"), F.lpad((did % 64).cast("string"), 5, "0")
+            F.lit("part-"), F.lpad((did % NUM_FILES).cast("string"), 5, "0")
         ).alias("filename"),
         F.concat(
             F.col("text"),
-            url((did * 3) % 50), F.lit("x</a>"),
-            url((did * 7 + 1) % 50), F.lit("y</a>"),
+            url((did * 3) % NUM_URLS), F.lit("x</a>"),
+            url((did * 7 + 1) % NUM_URLS), F.lit("y</a>"),
             F.when(
                 did % 3 == 0,
-                F.concat(url((did * 13 + 2) % 50), F.lit("z</a>")),
+                F.concat(url((did * 13 + 2) % NUM_URLS), F.lit("z</a>")),
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
