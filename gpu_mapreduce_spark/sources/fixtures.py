@@ -203,6 +203,20 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def edges_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical edges, materialized once (eager localCheckpoint).
+
+    Queries that reference `edges` several times in one plan (tri_find's two
+    self-joins, degree_weight, every iterative algorithm) would otherwise
+    recompute the whole derivation per reference — Catalyst doesn't reuse the
+    exchange because each reference prunes different columns (verified: the
+    naive tri_count plan held 42 parquet scans). At cluster scale the
+    canonical edge list is a persisted (bucketed-by-src) table, derived once;
+    localCheckpoint is the single-session stand-in for that materialization.
+    """
+    return edges(spark, sf_dir).localCheckpoint(eager=True)
+
+
 def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges(spark, sf_dir)
     return e.select(
