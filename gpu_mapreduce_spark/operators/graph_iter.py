@@ -1,0 +1,189 @@
+"""Iterative graph algorithms over the fixpoint driver (SURVEY.md §2.4):
+connected components, SSSP, pagerank, Luby MIS.
+
+Reference analogs:
+  - cc_find   ≙ oink/cc_find.cpp:38-109 (zone merging until no zone changes;
+               skew handled by splitting giant zones across procs :43-55)
+  - cc_stats  ≙ oink/cc_stats.cpp:37-63
+  - sssp      ≙ oink/sssp.cpp:49-180 (frontier relaxation via compress loops)
+  - pagerank  ≙ oink/pagerank.cpp:35-64 — a STUB there (empty loop :54-56);
+               implemented for real here
+  - luby_find ≙ oink/luby_find.cpp:53-95
+
+Determinism discipline: every algorithm is either integer-exact (sssp in
+weight units, pagerank in fixed-point micro-units) or a pure min/label
+computation, so results are bit-identical across engines and runs — the
+requirement the driver's value-hash imposes, and the property the reference
+only approximates with seeds (SURVEY.md §5).
+
+Scale notes: per iteration each algorithm is one key-partitioned join of the
+frontier/labels against the (checkpointed, reusable) arc list plus one
+partially-aggregated groupBy. min/sum are algebraic → map-side combine bounds
+hot vertices; the reference needed hand-rolled zone splitting for exactly this
+(oink/cc_find.cpp:43-55). AQE skew-join covers the join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.operators.graph import bidirect
+from gpu_mapreduce_spark.plans.iterate import fixpoint, iterate_n
+
+
+def cc_find(edges: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:
+    """Connected components by synchronous min-label propagation: every
+    vertex starts as its own zone (reduce_self_zone, oink/cc_find.cpp:133-138)
+    and each round adopts the minimum label in its closed neighborhood, until
+    no label changes (the reference's zone-reassignment loop :64-103).
+
+    Returns ((v, zone) DataFrame, rounds run). zone = min vertex id of the
+    component, matching the reference's winning-smaller-zone rule
+    (reduce_zone_winner).
+    """
+    arcs = bidirect(edges).localCheckpoint(eager=True)
+    labels = (
+        arcs.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+    )
+
+    def step(lab: DataFrame) -> DataFrame:
+        nbr_min = (
+            arcs.join(lab, arcs.src == lab.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("label").alias("ml"))
+        )
+        return lab.join(nbr_min, lab.v == nbr_min.nv, "left").select(
+            lab.v.alias("v"),
+            F.least(F.col("label"), F.coalesce("ml", F.col("label"))).alias("label"),
+        )
+
+    def changed(prev: DataFrame, cur: DataFrame) -> int:
+        p = prev.select(F.col("v").alias("pv"), F.col("label").alias("pl"))
+        return cur.join(p, cur.v == p.pv).filter(F.col("label") != F.col("pl")).count()
+
+    fix, rounds = fixpoint(labels, step, changed, max_iter)
+    return fix.select("v", F.col("label").alias("zone")), rounds
+
+
+def weighted_arcs(wedges: DataFrame) -> DataFrame:
+    """Bidirect weighted canonical edges, carrying the edge weight both ways
+    (oink/map_read_edge_weight.cpp shape + sssp's reorganize_edges,
+    oink/sssp.cpp:187-199)."""
+    return wedges.select("src", "dst", "wu").unionAll(
+        wedges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "wu"
+        )
+    )
+
+
+def sssp(warcs: DataFrame, source: int, max_iter: int = 50) -> tuple[DataFrame, int]:
+    """Single-source shortest paths by frontier relaxation
+    (oink/sssp.cpp:49-180: seed source, loop {push dist+weight to neighbors,
+    keep per-vertex min, flag changed} until no distance changes).
+
+    `warcs` must carry integer weight units in `wu` — distances stay
+    integer-exact, so min-ties are impossible and results are bit-identical
+    across engines (the reference compares doubles, :244-297; our fixture
+    weights are k/97 so units = k loses nothing).
+
+    Only the changed frontier is joined against the arc list each round —
+    the reference's `mr_dist_changed` set — so per-round shuffle volume is
+    O(frontier ⋈ arcs), not O(V ⋈ arcs). Returns ((v, du) for *reached*
+    vertices, rounds).
+    """
+    arcs = warcs.localCheckpoint(eager=True)
+    spark = warcs.sparkSession
+    dist0 = spark.createDataFrame(
+        [(source, 0, True)], "v bigint, du bigint, changed boolean"
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        frontier = state.filter("changed")
+        cand = (
+            frontier.join(arcs, frontier.v == arcs.src)
+            .groupBy(F.col("dst").alias("cv"))
+            .agg(F.min(F.col("du") + F.col("wu")).alias("nd"))
+        )
+        return state.join(cand, state.v == cand.cv, "full_outer").select(
+            F.coalesce(state.v, F.col("cv")).alias("v"),
+            F.least(state.du, F.col("nd")).alias("du"),
+            F.coalesce(F.col("nd") < state.du, state.du.isNull()).alias("changed"),
+        )
+
+    def num_changed(_prev: DataFrame, cur: DataFrame) -> int:
+        return cur.filter("changed").count()
+
+    fix, rounds = fixpoint(dist0, step, num_changed, max_iter)
+    return fix.select("v", "du"), rounds
+
+
+PR_SCALE = 10**12  # pagerank fixed-point: 1.0 rank unit == 10^12
+
+
+def pagerank(
+    edges: DataFrame, num_iter: int = 10, alpha_num: int = 17, alpha_den: int = 20
+) -> DataFrame:
+    """PageRank with damping alpha = alpha_num/alpha_den (default 0.85), run
+    for a fixed number of synchronous iterations.
+
+    The reference *declares* this command but its loop body is empty
+    (oink/pagerank.cpp:54-56) — this is the one place we implement what it
+    only stubs. Semantics chosen to be integer-exact: ranks live in
+    PR_SCALE-units (BIGINT); each vertex contributes
+    `(alpha_num * r) div (alpha_den * outdeg)` to every neighbor and every
+    vertex receives teleport `(alpha_den - alpha_num) * PR_SCALE div
+    (alpha_den * N)`. Integer sums are order-independent, so results are
+    bit-identical across engines/partitionings — no float-summation drift.
+
+    Undirected interpretation (each edge contributes both directions), so
+    there are no dangling vertices. Output: (v, rank_units BIGINT,
+    rank DOUBLE = units / PR_SCALE).
+    """
+    arcs = bidirect(edges)
+    deg = arcs.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    arcs_deg = (
+        arcs.join(deg, arcs.src == deg.v)
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    teleport = (alpha_den - alpha_num) * PR_SCALE // (alpha_den * n)
+    ranks0 = deg.select("v", F.lit(PR_SCALE // n).cast("bigint").alias("r"))
+
+    def step(ranks: DataFrame) -> DataFrame:
+        contrib = (
+            arcs_deg.join(ranks, arcs_deg.src == ranks.v)
+            .select(
+                F.col("dst").alias("cv"),
+                F.expr(f"({alpha_num} * r) div ({alpha_den} * outdeg)").alias("c"),
+            )
+            .groupBy("cv")
+            .agg(F.sum("c").alias("csum"))
+        )
+        return ranks.join(contrib, ranks.v == F.col("cv"), "left").select(
+            "v",
+            (F.lit(teleport) + F.coalesce("csum", F.lit(0))).cast("bigint").alias("r"),
+        )
+
+    out = iterate_n(ranks0, step, num_iter)
+    return out.select(
+        "v",
+        F.col("r").alias("rank_units"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+def cc_stats(cc: DataFrame) -> DataFrame:
+    """Component-size histogram, largest first (oink/cc_stats.cpp:37-63:
+    invert → count → invert → count → sort)."""
+    sizes = cc.groupBy("zone").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(F.count(F.lit(1)).alias("ncomp"))
+        .orderBy(F.desc("csize"))
+    )

@@ -1,1 +1,168 @@
-"""Placeholder — queries added in a later milestone."""
+"""Oracle-checked queries for the iterative graph layer (cc_find, cc_stats,
+sssp, pagerank; luby_find is rows-only with invariants tested in
+tests/test_graph_iter.py).
+
+Oracle strategy: DuckDB has no fixpoint loop inside one statement, so each
+oracle is a *generated* K-stage chain of CTEs running the same synchronous
+rounds the Spark operator runs. K is fixed comfortably above the measured
+convergence round count (min-label propagation converges in 9/5/3 rounds at
+sf0.001/0.01/0.1 on the edges fixture), so oracle == fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.operators import graph_iter
+from gpu_mapreduce_spark.registry import register
+from gpu_mapreduce_spark.sources import fixtures
+
+_CC_STAGES = 16  # measured max convergence is 9 rounds (sf0.001); margin 7
+
+
+def _cc_oracle_prefix(k: int = _CC_STAGES) -> str:
+    """WITH-chain computing K synchronous min-label rounds over bidirected
+    arcs; final labels in CTE l{k}(v, label)."""
+    # Each stage references its predecessor twice; DuckDB inlines plain CTEs,
+    # so without MATERIALIZED the expansion tree is O(2^k).
+    parts = [
+        fixtures.duckdb_with("edges"),
+        ", arcs AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+        ", l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM arcs)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+                SELECT cur.v, LEAST(cur.label, COALESCE(mn.ml, cur.label)) AS label
+                FROM l{i - 1} cur LEFT JOIN (
+                    SELECT a.dst AS v, MIN(l.label) AS ml
+                    FROM arcs a JOIN l{i - 1} l ON a.src = l.v GROUP BY a.dst
+                ) mn ON cur.v = mn.v
+            )"""
+        )
+    return "\n".join(parts)
+
+
+@register(
+    "cc_find",
+    bench=True,
+    tags=("graph", "iterative"),
+    oracle=f"""
+        {_cc_oracle_prefix()}
+        SELECT v, label AS zone FROM l{_CC_STAGES}
+    """,
+)
+def cc_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc, _rounds = graph_iter.cc_find(fixtures.edges_materialized(spark, sf_dir))
+    return cc
+
+
+@register(
+    "cc_stats",
+    tags=("graph", "iterative"),
+    oracle=f"""
+        {_cc_oracle_prefix()}
+        SELECT csize, COUNT(*) AS ncomp
+        FROM (SELECT label, COUNT(*) AS csize FROM l{_CC_STAGES} GROUP BY label)
+        GROUP BY csize
+        ORDER BY csize DESC
+    """,
+)
+def cc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc, _rounds = graph_iter.cc_find(fixtures.edges_materialized(spark, sf_dir))
+    return graph_iter.cc_stats(cc)
+
+
+_SSSP_STAGES = 24  # measured max convergence is 17 rounds (sf0.001); margin 7
+_SSSP_SOURCE = 0  # always present: the 25-clique covers vertices 0..24
+
+
+def _sssp_oracle(k: int = _SSSP_STAGES) -> str:
+    parts = [
+        fixtures.duckdb_with("wedges_u"),
+        ", warcs AS MATERIALIZED (SELECT src, dst, wu FROM wedges_u"
+        " UNION ALL SELECT dst AS src, src AS dst, wu FROM wedges_u)",
+        f", d0 AS MATERIALIZED (SELECT CAST({_SSSP_SOURCE} AS BIGINT) AS v,"
+        " CAST(0 AS BIGINT) AS du)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+                SELECT v, MIN(du) AS du FROM (
+                    SELECT v, du FROM d{i - 1}
+                    UNION ALL
+                    SELECT a.dst AS v, d.du + a.wu AS du
+                    FROM warcs a JOIN d{i - 1} d ON a.src = d.v
+                ) GROUP BY v
+            )"""
+        )
+    parts.append(
+        f"SELECT v, du, du / CAST(97.0 AS DOUBLE) AS dist FROM d{k}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "sssp",
+    bench=True,
+    tags=("graph", "iterative"),
+    oracle=_sssp_oracle(),
+)
+def sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest paths from vertex 0 in integer weight units (distances are
+    sums of k/97 weights, so du = 97·dist is exact). Unreached vertices are
+    omitted (the reference likewise only emits vertices whose distance was
+    ever set, oink/sssp.cpp:170-172)."""
+    warcs = graph_iter.weighted_arcs(fixtures.wedges_u(spark, sf_dir))
+    dist, _rounds = graph_iter.sssp(warcs, _SSSP_SOURCE)
+    return dist.select("v", "du", (F.col("du") / F.lit(97.0)).alias("dist"))
+
+
+_PR_ITERS = 10
+
+
+def _pagerank_oracle(k: int = _PR_ITERS) -> str:
+    scale = graph_iter.PR_SCALE
+    parts = [
+        fixtures.duckdb_with("edges"),
+        ", arcs AS MATERIALIZED (SELECT src, dst FROM edges"
+        " UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+        ", deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS outdeg"
+        " FROM arcs GROUP BY src)",
+        ", ad AS MATERIALIZED (SELECT a.src, a.dst, d.outdeg"
+        " FROM arcs a JOIN deg d ON a.src = d.v)",
+        f", tele AS (SELECT CAST(3 * {scale} // (20 * COUNT(*)) AS BIGINT) AS t,"
+        f" CAST({scale} // COUNT(*) AS BIGINT) AS r0 FROM deg)",
+        ", r0 AS MATERIALIZED (SELECT v, (SELECT r0 FROM tele) AS r FROM deg)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+                SELECT p.v,
+                       CAST((SELECT t FROM tele) + COALESCE(c.csum, 0) AS BIGINT) AS r
+                FROM r{i - 1} p LEFT JOIN (
+                    SELECT ad.dst AS v,
+                           CAST(SUM((17 * rr.r) // (20 * ad.outdeg)) AS BIGINT) AS csum
+                    FROM ad JOIN r{i - 1} rr ON ad.src = rr.v GROUP BY ad.dst
+                ) c ON p.v = c.v
+            )"""
+        )
+    parts.append(
+        f"SELECT v, r AS rank_units, r / CAST(1e12 AS DOUBLE) AS rank FROM r{k}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "pagerank",
+    tags=("graph", "iterative"),
+    oracle=_pagerank_oracle(),
+)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pagerank (the reference's command is an empty stub,
+    oink/pagerank.cpp:54-56): 10 synchronous iterations, alpha=0.85, in
+    integer PR_SCALE-units so both engines agree bit-for-bit."""
+    return graph_iter.pagerank(
+        fixtures.edges_materialized(spark, sf_dir), num_iter=_PR_ITERS
+    )

@@ -90,6 +90,12 @@ DUCKDB_FIXTURE_SQL: dict[str, str] = {
                CAST(((src * 31 + dst) % 97 + 1) AS DOUBLE) / 97.0 AS weight
         FROM edges
     """,
+    # same weights in integer units of 1/97 — iterative algorithms (sssp)
+    # work in units so distance sums are integer-exact on both engines
+    "wedges_u": """
+        SELECT src, dst, CAST((src * 31 + dst) % 97 + 1 AS BIGINT) AS wu
+        FROM edges
+    """,
 }
 
 # Interpolate the shared constants so both engines derive from one definition
@@ -104,6 +110,7 @@ DUCKDB_FIXTURE_SQL = {
 _FIXTURE_DEPS: dict[str, list[str]] = {
     "edges": ["edges_raw"],
     "wedges": ["edges_raw", "edges"],
+    "wedges_u": ["edges_raw", "edges"],
 }
 
 
@@ -228,6 +235,15 @@ def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wedges_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges(spark, sf_dir)
+    return e.select(
+        "src",
+        "dst",
+        ((F.col("src") * 31 + F.col("dst")) % 97 + 1).cast("bigint").alias("wu"),
+    )
+
+
 SPARK_FIXTURES = {
     "kvpairs": kvpairs,
     "ints": ints,
@@ -236,4 +252,5 @@ SPARK_FIXTURES = {
     "edges_raw": edges_raw,
     "edges": edges,
     "wedges": wedges,
+    "wedges_u": wedges_u,
 }
