@@ -16,11 +16,18 @@ computation, so results are bit-identical across engines and runs — the
 requirement the driver's value-hash imposes, and the property the reference
 only approximates with seeds (SURVEY.md §5).
 
-Scale notes: per iteration each algorithm is one key-partitioned join of the
-frontier/labels against the (checkpointed, reusable) arc list plus one
-partially-aggregated groupBy. min/sum are algebraic → map-side combine bounds
-hot vertices; the reference needed hand-rolled zone splitting for exactly this
-(oink/cc_find.cpp:43-55). AQE skew-join covers the join side.
+Scale notes: per iteration each algorithm is one join of the vertex state
+(labels/frontier/ranks) against the checkpointed arc list plus one
+partially-aggregated groupBy. The vertex-state side is explicitly broadcast:
+without the hint Spark broadcasts the ARC side (LogicalRDD stats undercount
+it), rebuilding a |E|-row broadcast every round — measured 2-5 s/round at
+sf0.1 vs ~0.5 s with the state broadcast, and the arc list never moves at
+all. When |V| itself outgrows broadcast range (billions of vertices at
+100 TB), the right physical plan is arcs bucketed by src + shuffle-hash join
+so only the state side shuffles — swap the broadcast() for a bucketed-table
+read; the loop structure is unchanged. min/sum are algebraic → map-side
+combine bounds hot vertices; the reference needed hand-rolled zone splitting
+for exactly this (oink/cc_find.cpp:43-55). AQE skew-join covers the rest.
 """
 
 from __future__ import annotations
@@ -51,7 +58,7 @@ def cc_find(edges: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:
 
     def step(lab: DataFrame) -> DataFrame:
         nbr_min = (
-            arcs.join(lab, arcs.src == lab.v)
+            arcs.join(F.broadcast(lab), arcs.src == lab.v)
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("label").alias("ml"))
         )
@@ -103,7 +110,7 @@ def sssp(warcs: DataFrame, source: int, max_iter: int = 50) -> tuple[DataFrame, 
     def step(state: DataFrame) -> DataFrame:
         frontier = state.filter("changed")
         cand = (
-            frontier.join(arcs, frontier.v == arcs.src)
+            arcs.join(F.broadcast(frontier), frontier.v == arcs.src)
             .groupBy(F.col("dst").alias("cv"))
             .agg(F.min(F.col("du") + F.col("wu")).alias("nd"))
         )
@@ -157,7 +164,7 @@ def pagerank(
 
     def step(ranks: DataFrame) -> DataFrame:
         contrib = (
-            arcs_deg.join(ranks, arcs_deg.src == ranks.v)
+            arcs_deg.join(F.broadcast(ranks), arcs_deg.src == ranks.v)
             .select(
                 F.col("dst").alias("cv"),
                 F.expr(f"({alpha_num} * r) div ({alpha_den} * outdeg)").alias("c"),
@@ -176,6 +183,80 @@ def pagerank(
         F.col("r").alias("rank_units"),
         (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
     )
+
+
+def luby_find(edges: DataFrame, seed: int = 12345, max_iter: int = 50) -> tuple[DataFrame, int]:
+    """Luby's maximal independent set (oink/luby_find.cpp:53-95).
+
+    Each round over the still-undecided subgraph: a vertex whose random
+    priority is a strict minimum among its undecided neighbors joins the MIS
+    (reduce_vert_winner :186); its neighbors drop out (reduce_vert_loser
+    :238); repeat until no vertex is undecided. Expected O(log V) rounds.
+
+    The reference's priorities come from per-proc drand48 (map_vert_random)
+    — rerun- and layout-dependent. Ours are (xxhash64(seed, v), v): pure,
+    collision-free (the id tiebreak), so the MIS is a deterministic function
+    of (graph, seed) — required for reproducible tests, same trade the rmat
+    generator makes.
+
+    Returns ((v) MIS members, rounds)."""
+    arcs = bidirect(edges).localCheckpoint(eager=True)
+    verts = arcs.select(F.col("src").alias("v")).distinct()
+    # status: 'u' undecided / 'i' in MIS / 'o' out (a MIS neighbor)
+    state0 = verts.select(
+        "v",
+        F.xxhash64(F.lit(seed), F.col("v")).alias("pri"),
+        F.lit("u").alias("status"),
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        und = state.filter(F.col("status") == "u").select("v", "pri")
+        us = und.select(F.col("v").alias("sv"), F.col("pri").alias("spri"))
+        ud = und.select(F.col("v").alias("dv"))
+        # arcs of the undecided-only subgraph, annotated with source priority
+        uarcs = (
+            arcs.join(F.broadcast(us), arcs.src == F.col("sv"))
+            .join(F.broadcast(ud), arcs.dst == F.col("dv"))
+            .select(F.col("dst").alias("v"), F.col("spri"), F.col("src").alias("sv"))
+        )
+        nbr_min = uarcs.groupBy("v").agg(
+            F.min(F.struct("spri", "sv")).alias("mn")
+        )
+        # winner: strict (pri, v) minimum over closed undecided neighborhood
+        # (isolated undecided vertices win immediately)
+        winners = (
+            und.join(nbr_min, "v", "left")
+            .filter(
+                F.col("mn").isNull()
+                | (F.struct(F.col("pri").alias("spri"), F.col("v").alias("sv")) < F.col("mn"))
+            )
+            .select(F.col("v").alias("wv"))
+        )
+        # losers: undecided neighbors of a winner
+        losers = (
+            arcs.join(F.broadcast(winners), arcs.src == F.col("wv"))
+            .select(F.col("dst").alias("lv"))
+            .distinct()
+        )
+        return (
+            state.join(winners, state.v == F.col("wv"), "left")
+            .join(losers, state.v == F.col("lv"), "left")
+            .select(
+                "v",
+                "pri",
+                F.when(F.col("status") != "u", F.col("status"))
+                .when(F.col("wv").isNotNull(), F.lit("i"))
+                .when(F.col("lv").isNotNull(), F.lit("o"))
+                .otherwise(F.lit("u"))
+                .alias("status"),
+            )
+        )
+
+    def num_changed(_prev: DataFrame, cur: DataFrame) -> int:
+        return cur.filter(F.col("status") == "u").count()
+
+    fix, rounds = fixpoint(state0, step, num_changed, max_iter)
+    return fix.filter(F.col("status") == "i").select("v"), rounds
 
 
 def cc_stats(cc: DataFrame) -> DataFrame:

@@ -67,6 +67,7 @@ def load_all() -> dict[str, QueryDef]:
             text,
             graph,
             graph_iter,
+            rmat_gen,
             dedup,
             similarity,
             textstats,

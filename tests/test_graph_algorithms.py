@@ -1,0 +1,88 @@
+"""Independent cross-checks for the algorithms with no SQL oracle
+(FIXTURES.md: luby_find is property-checked; rmat is invariant-checked and
+its downstream cc is verified against a pure-Python union-find)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.operators import graph, graph_iter, rmat
+from gpu_mapreduce_spark.sources import fixtures
+from tests.conftest import SF_DIR
+
+
+def test_luby_invariants(spark):
+    edges = fixtures.edges_materialized(spark, SF_DIR)
+    mis, rounds = graph_iter.luby_find(edges, seed=12345)
+    mis = mis.localCheckpoint(eager=True)
+    assert rounds >= 1
+    assert mis.count() > 0
+
+    # independence: no edge has both endpoints in the MIS
+    s = mis.select(F.col("v").alias("sv"))
+    d = mis.select(F.col("v").alias("dv"))
+    inside = edges.join(s, edges.src == s.sv).join(d, edges.dst == d.dv)
+    assert inside.count() == 0
+
+    # maximality: every non-member has at least one MIS neighbor
+    arcs = graph.bidirect(edges)
+    verts = graph.vertex_extract(edges)
+    covered = (
+        arcs.join(s, arcs.src == s.sv).select(F.col("dst").alias("v")).distinct()
+    )
+    uncovered = (
+        verts.join(mis, "v", "left_anti").join(covered, "v", "left_anti")
+    )
+    assert uncovered.count() == 0
+
+
+def test_luby_deterministic(spark):
+    edges = fixtures.edges_materialized(spark, SF_DIR)
+    a, _ = graph_iter.luby_find(edges, seed=7)
+    b, _ = graph_iter.luby_find(edges, seed=7)
+    assert sorted(r.v for r in a.collect()) == sorted(r.v for r in b.collect())
+
+
+def test_rmat_exact_count_and_determinism(spark):
+    e1, rounds1 = rmat.rmat_edges(spark, 10, 4, 0.57, 0.19, 0.19, seed=99)
+    assert e1.count() == 4 << 10
+    # no duplicates by construction
+    assert e1.distinct().count() == 4 << 10
+    e2, _ = rmat.rmat_edges(spark, 10, 4, 0.57, 0.19, 0.19, seed=99)
+    fp = lambda df: sorted((r.src, r.dst) for r in df.collect())
+    assert fp(e1) == fp(e2)
+    # different seed -> different graph
+    e3, _ = rmat.rmat_edges(spark, 10, 4, 0.57, 0.19, 0.19, seed=100)
+    assert fp(e1) != fp(e3)
+
+
+def test_rmat_cc_matches_union_find(spark):
+    """cc_find on the skewed R-MAT graph vs a pure-Python union-find —
+    the only engine-independent check possible for a generated graph."""
+    gen, _ = rmat.rmat_edges(spark, 10, 4, 0.57, 0.19, 0.19, seed=99)
+    edges = graph.edge_upper(gen).localCheckpoint(eager=True)
+    cc, _rounds = graph_iter.cc_find(edges)
+    got = {r.v: r.zone for r in cc.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    for s, d in pairs:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # canonical label = min vertex of each component
+    comp: dict[int, int] = {}
+    for v in parent:
+        root = find(v)
+        comp[root] = min(comp.get(root, v), v)
+    want = {v: comp[find(v)] for v in parent}
+    assert got == want
