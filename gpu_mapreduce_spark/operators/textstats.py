@@ -1,0 +1,112 @@
+"""Text-analysis operators for the training-data pipeline layer (builder
+brief "beyond-reference" §text-analysis; no reference analog — the closest
+is the wordfreq tokenizer, examples/wordfreq.cpp:120-129, which `tokens`
+generalizes).
+
+Design rules:
+  - Everything is a codegen'd column expression (split/filter/size/md5) —
+    no Python in the row path, so the operators scale like any scan.
+  - Cross-engine determinism: token rules avoid regex character classes
+    whose definitions differ between Java regex and RE2 (explicit lists
+    instead); ratios are double divisions of integer counts (bit-identical
+    on both engines); the fingerprint is md5 of a canonical normal form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny function-word lists for the language-ID heuristic (top function words;
+# any real system would ship hundreds — the pipeline shape is what matters)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "von", "zu", "ist", "nicht"],
+    "es": ["el", "la", "de", "los", "que", "y", "en", "es"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est"],
+}
+
+# GPT-2-ish pre-tokenizer shape: letter runs, digit runs, single other glyphs
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (ARRAY<STRING>)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Sub-word-ish tokens: the cheap regex stand-in for a BPE pre-tokenizer
+    (letter runs / digit runs / single punctuation glyphs)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """How many tokens are function words of `lang` (explicit IN-list, not a
+    regex — identical semantics on every engine)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics: counts, distinct counts, mean token length,
+    BPE-ish token count — the unit costs a training-data pipeline budgets by."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        (
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.size(t).cast("double")
+        ).alias("avg_token_len"),
+        F.size(bpe_ish_tokens(F.col(text_col))).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality signals (length, stopword density, token
+    diversity) + a keep/drop flag — the C4-style filter shape."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_stop = F.size(
+        F.filter(t, lambda x: F.lower(x).isin(STOPWORDS["en"]))
+    )
+    n_uniq = F.size(F.array_distinct(t))
+    stop_ratio = n_stop / n_tok.cast("double")
+    uniq_ratio = n_uniq / n_tok.cast("double")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        (
+            (n_tok >= 10) & (n_tok <= 10000) & (stop_ratio >= 0.01) & (uniq_ratio >= 0.2)
+        ).alias("keep"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free language-ID heuristic: argmax of function-word hits with a
+    fixed tie-break order (en > de > es > fr), 'und' (undetermined) when no
+    function word matches at all."""
+    t = tokens(F.col(text_col))
+    scores = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    s = docs.select("doc_id", *[c.alias(f"s_{lang}") for lang, c in scores.items()])
+    e, d, sp, fr = F.col("s_en"), F.col("s_de"), F.col("s_es"), F.col("s_fr")
+    guess = (
+        F.when(e + d + sp + fr == 0, F.lit("und"))
+        .when((e >= d) & (e >= sp) & (e >= fr), F.lit("en"))
+        .when((d >= sp) & (d >= fr), F.lit("de"))
+        .when(sp >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return s.select("doc_id", "s_en", "s_de", "s_es", "s_fr", guess.alias("guess"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical content fingerprint: md5 of the lowercased,
+    whitespace-collapsed text — the exact-dedup key."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
