@@ -1,0 +1,273 @@
+"""Deduplication operators for the training-data pipeline layer (builder
+brief "beyond-reference" §dedup; no reference analog — the closest shapes are
+`cull` (oink/reduce_cull.cpp, exact duplicate removal) and the wordfreq
+tokenizer).
+
+Four tiers, all shuffle-bounded (NEVER all-pairs):
+
+  exact_groups       md5-of-normal-form groupBy — one shuffle.
+  jaccard_pairs      word-shingle Jaccard >= t via PREFIX FILTERING
+                     (Chaudhuri et al.): order shingles by global rarity;
+                     any pair with J >= t must share a token in each other's
+                     rarity-prefix, so candidate generation is an equi-join
+                     on prefix shingles. Complete (no missed pairs), unlike
+                     naive rare-token blocking.
+  minhash_lsh_pairs  MinHash signatures (xxhash64 permutations) banded into
+                     buckets; candidates = same-bucket pairs; survivors
+                     verified with exact Jaccard. Probabilistic recall
+                     (1-(1-t^r)^b), tunable; the 100-TB default path.
+  simhash_pairs      64-bit SimHash; Hamming <= k via 4x16-bit band
+                     pigeonhole (complete for k <= 3); verified with
+                     bit_count(xor).
+
+Scale notes: every stage is an equi-join or groupBy on shingle/band/pair
+keys — shuffle volume is O(sum of shingles + candidates), and candidate
+counts are controlled by prefix length / band width, not corpus size^2.
+Verification joins ship only (doc_id, shingle) pairs for candidate docs.
+All hashing is engine-deterministic (xxhash64 column expressions); no
+Python in any row path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.operators.textstats import tokens
+
+
+def _norm(text: Column) -> Column:
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def exact_groups(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content fingerprint; canonical survivor = min
+    doc_id (the `cull` shape with an explicit survivor rule). Output one row
+    per distinct content: (fp, keep_id, ndups)."""
+    return (
+        corpus.select("doc_id", F.md5(_norm(F.col(text_col)).cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("ndups"))
+    )
+
+
+def shingle_set(corpus: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, sh)."""
+    toks = tokens(F.col(text_col))
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array())
+    return (
+        corpus.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    )
+
+
+def _verified_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (a < b): join each
+    pair's shingle sets, count the overlap, keep J >= threshold."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        cand.join(sa, "a").join(sb, ["b", "sh"]).groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("inter")
+        )
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.8, k: int = 3
+) -> DataFrame:
+    """All pairs (a < b) with shingle-Jaccard >= threshold, via prefix
+    filtering: shingles ordered globally by (frequency, shingle); a doc with
+    n shingles exposes only its first n - ceil(t*n) + 1 rarest as join keys.
+    If J(A,B) >= t the pair is guaranteed to collide on some exposed shingle
+    (pigeonhole on the shared global order), so candidate generation is
+    complete while hot (frequent) shingles never become join keys."""
+    sh = shingle_set(corpus, k).localCheckpoint(eager=True)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        sh.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "sh"))).alias("arr"))
+    )
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.col("arr"),
+                1,
+                F.size("arr")
+                - F.ceil(F.size("arr") * F.lit(threshold)).cast("int")
+                + 1,
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.sh").alias("sh"))
+    pa = prefix.select(F.col("doc_id").alias("a"), "sh")
+    pb = prefix.select(F.col("doc_id").alias("b"), "sh")
+    cand = (
+        pa.join(pb, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh, threshold)
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
+
+    Signature: bands*rows permutations h_i(sh) = xxhash64(seed, i, sh), each
+    min-reduced per doc (one groupBy). Band key = hash of its `rows`
+    signature slots; same-band docs become candidates. With b=16, r=2 a pair
+    at J=0.8 collides with p = 1-(1-0.8^2)^16 ≈ 1-1e-7; verification then
+    removes false positives, so output ⊆ jaccard_pairs with near-1 recall.
+    This is the scale path: signature cost is linear in shingle count and
+    bucket joins never touch non-colliding docs."""
+    nperm = bands * rows
+    sh = shingle_set(corpus, k).localCheckpoint(eager=True)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("sh"))).alias(f"m{i}")
+            for i in range(nperm)
+        ]
+    )
+    band_entries = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{bi * rows + ri}") for ri in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    ba = band_entries.select(F.col("doc_id").alias("a"), "band", "bh")
+    bb = band_entries.select(F.col("doc_id").alias("b"), "band", "bh")
+    cand = (
+        ba.join(bb, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh, threshold)
+
+
+SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4  # 4 x 16-bit bands: complete for hamming distance <= 3
+
+
+def simhash_sigs(corpus: DataFrame, seed: int = 7, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over xxhash64 of each
+    distinct token. Pure array-fold codegen (no Python, no explode):
+    (doc_id, sig BIGINT, b0..b3 16-bit band values).
+
+    Bit positions are Python-loop-unrolled (shiftleft/shiftrightunsigned
+    take literal shift amounts only)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.xxhash64(F.lit(seed), t), b)
+                    .bitwiseAND(F.lit(1))
+                    .cast("int")
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda c, bit: c + bit * 2 - 1,  # +1 for set bit, -1 for clear
+        ),
+    )
+    bits = F.transform(counters, lambda c: (c > 0).cast("long"))
+    out = corpus.select("doc_id", bits.alias("bits"))
+
+    def _pack(offset: int, width: int) -> Column:
+        packed = F.lit(0).cast("long")
+        for p in range(width):
+            packed = packed.bitwiseOR(
+                F.shiftleft(F.element_at("bits", offset + p + 1), p)
+            )
+        return packed
+
+    band_cols = [
+        _pack(bi * 16, 16).alias(f"b{bi}") for bi in range(_SIMHASH_BANDS)
+    ]
+    return out.select("doc_id", _pack(0, SIMHASH_BITS).alias("sig"), *band_cols)
+
+
+def simhash_pairs(
+    corpus: DataFrame, max_dist: int = 3, seed: int = 7
+) -> DataFrame:
+    """All pairs (a < b) with SimHash Hamming distance <= max_dist (<= 3):
+    with 4 disjoint 16-bit bands, any pair within distance 3 agrees exactly
+    on >= 1 band (pigeonhole) — so same-band equality is a COMPLETE candidate
+    generator, verified by bit_count(a XOR b)."""
+    sigs = simhash_sigs(corpus, seed).localCheckpoint(eager=True)
+    entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), F.col(f"b{bi}").alias("bv"))
+                    for bi in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bv")
+    ea = entries.select(F.col("doc_id").alias("a"), "band", "bv")
+    eb = entries.select(F.col("doc_id").alias("b"), "band", "bv")
+    cand = (
+        ea.join(eb, ["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

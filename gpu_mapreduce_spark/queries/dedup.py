@@ -1,1 +1,88 @@
-"""Placeholder — queries added in a later milestone."""
+"""Dedup queries over the `corpus` fixture (documents + injected exact and
+near duplicates — sources/fixtures.py).
+
+dedup_exact and dedup_jaccard_pairs are oracle-checked (the Jaccard oracle
+is a DuckDB all-pairs scan — fine at oracle scale, and exactly the quadratic
+plan the Spark operators exist to avoid). The LSH/SimHash variants hash with
+engine-internal xxhash64, so they register rows-only; their soundness
+(output ⊆ exact pairs) and recall are asserted in tests/test_dedup.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gpu_mapreduce_spark.operators import dedup
+from gpu_mapreduce_spark.registry import register
+from gpu_mapreduce_spark.sources import fixtures
+
+_C = fixtures.duckdb_with("corpus")
+
+_SH_SQL = r"""
+    toksrc AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        FROM corpus
+    ),
+    shs AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))
+                        ELSE [] END
+               ) AS s
+        FROM toksrc
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    tags=("llm", "dedup"),
+    oracle=f"""
+        {_C}
+        SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS ndups
+        FROM (SELECT doc_id,
+                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+              FROM corpus)
+        GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_groups(fixtures.corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    tags=("llm", "dedup"),
+    oracle=f"""
+        {_C},
+        {_SH_SQL}
+        SELECT a, b, inter / CAST(na + nb - inter AS DOUBLE) AS jac
+        FROM (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   len(list_intersect(x.s, y.s)) AS inter,
+                   len(x.s) AS na, len(y.s) AS nb
+            FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+        )
+        WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete near-dup pair set at J >= 0.8 via prefix filtering — the
+    equi-join plan whose oracle is the all-pairs scan it avoids."""
+    return dedup.jaccard_pairs(fixtures.corpus(spark, sf_dir), threshold=0.8)
+
+
+@register("dedup_minhash_lsh", bench=True, tags=("llm", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified to J >= 0.8 — the 100-TB default
+    path (rows-only: xxhash64 signatures aren't reproducible in SQL;
+    soundness + recall vs dedup_jaccard_pairs asserted in tests)."""
+    return dedup.minhash_lsh_pairs(fixtures.corpus(spark, sf_dir), threshold=0.8)
+
+
+@register("dedup_simhash", tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance <= 3 pairs (band-complete candidate
+    generation; verification by bit_count of XOR)."""
+    return dedup.simhash_pairs(fixtures.corpus(spark, sf_dir), max_dist=3)

@@ -96,6 +96,17 @@ DUCKDB_FIXTURE_SQL: dict[str, str] = {
         SELECT src, dst, CAST((src * 31 + dst) % 97 + 1 AS BIGINT) AS wu
         FROM edges
     """,
+    # dedup corpus: documents + injected exact duplicates (every 5th doc) and
+    # near-duplicates (every 7th doc with a short appended tail), so the
+    # dedup operators have known positives at every scale factor
+    "corpus": """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' near dup tail' AS text
+        FROM documents WHERE doc_id % 7 = 0
+    """,
 }
 
 # Interpolate the shared constants so both engines derive from one definition
@@ -235,6 +246,18 @@ def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    exact = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" near dup tail")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionAll(exact).unionAll(near)
+
+
 def wedges_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges(spark, sf_dir)
     return e.select(
@@ -253,4 +276,5 @@ SPARK_FIXTURES = {
     "edges": edges,
     "wedges": wedges,
     "wedges_u": wedges_u,
+    "corpus": corpus,
 }

@@ -1,0 +1,36 @@
+"""Soundness/recall checks for the probabilistic dedup tiers (no SQL oracle:
+their signatures use engine-internal xxhash64)."""
+
+from __future__ import annotations
+
+from gpu_mapreduce_spark.operators import dedup
+from gpu_mapreduce_spark.sources import fixtures
+from tests.conftest import SF_DIR
+
+
+def test_lsh_sound_and_high_recall(spark):
+    c = fixtures.corpus(spark, SF_DIR)
+    exact = {(r.a, r.b) for r in dedup.jaccard_pairs(c, 0.8).collect()}
+    lsh = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(c, 0.8).collect()}
+    assert lsh <= exact  # verification guarantees soundness
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.9  # b=16, r=2 at J>=0.8 → ~1-1e-7
+
+
+def test_simhash_banding_complete_and_sound(spark):
+    """Band-bucket candidate generation must find exactly the pairs a brute
+    force over the (collected) signatures finds at distance <= 3."""
+    c = fixtures.corpus(spark, SF_DIR)
+    sigs = {r.doc_id: r.sig for r in dedup.simhash_sigs(c).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {(r.a, r.b) for r in dedup.simhash_pairs(c, 3).collect()}
+    assert got == want
+    # injected exact duplicates must be at distance 0
+    exact_dup_pairs = {(d, d + 1000000) for d in sigs if d < 500 and d % 5 == 0}
+    assert exact_dup_pairs <= got
