@@ -164,6 +164,26 @@ def histo(kv: DataFrame, key: str = "k") -> DataFrame:
     )
 
 
+def clone(kv: DataFrame, key: str = "k", val: str = "v") -> DataFrame:
+    """KV→KMV 1:1: each pair becomes its own single-value group
+    (src/mapreduce.cpp:631-656). Under typed DataFrames this is just the
+    value wrapped in a one-element array — no grouping, no shuffle."""
+    return kv.select(key, F.array(F.col(val)).alias("vals"))
+
+
+def scan_sink(df: DataFrame, path: str, fmt: str = "csv") -> None:
+    """Read-only pass over all pairs into a sink (src/mapreduce.cpp:1933-2073
+    `scan`; the reference's callback prints/accumulates — ours writes, the
+    distributed equivalent of side-effect-per-pair)."""
+    df.write.mode("overwrite").format(fmt).save(path)
+
+
+def print_pairs(df: DataFrame, n: int = 20) -> None:
+    """Formatted dump (src/mapreduce.cpp:1671-1767 `print`). Driver-side by
+    design — bounded by n, never a full collect."""
+    df.show(n, truncate=False)
+
+
 def group_apply(kv: DataFrame, key: str, fn, schema) -> DataFrame:
     """General `reduce` (src/mapreduce.cpp:1769-1872) for non-algebraic
     callbacks: per-group pandas DataFrame in/out via Arrow. The group iterator

@@ -1,1 +1,66 @@
-"""Placeholder — queries added in a later milestone."""
+"""Batch halves of the stream/batch dual pipelines over `events`
+(streaming/pipeline.py): the oracle-checked truth that the streaming runs
+must reproduce (asserted in tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gpu_mapreduce_spark.functions.numeric import sql_dsum
+from gpu_mapreduce_spark.registry import register
+from gpu_mapreduce_spark.sources.tables import table
+from gpu_mapreduce_spark.streaming import pipeline
+
+_GAP_MS = pipeline.SESSION_GAP_MIN * 60 * 1000
+
+
+@register(
+    "events_windowed",
+    bench=True,
+    tags=("streaming",),
+    oracle=f"""
+        SELECT epoch_ms(date_trunc('hour', ts)) AS window_ms,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY epoch_ms(date_trunc('hour', ts)), event_type
+    """,
+)
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts + exact sums — the batch half of the
+    watermarked streaming aggregation."""
+    return pipeline.windowed_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionized",
+    tags=("streaming",),
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts)) > {_GAP_MS}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+            FROM marked
+        )
+        SELECT user_id, session_no,
+               epoch_ms(MIN(ts)) AS session_start_ms,
+               epoch_ms(MAX(ts)) AS session_end_ms,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM sess
+        GROUP BY user_id, session_no
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via window functions (a capability class
+    the reference lacks entirely) — the batch half of the
+    applyInPandasWithState streaming sessionizer."""
+    return pipeline.sessionize_batch(table(spark, sf_dir, "events"))

@@ -31,10 +31,24 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one base table as a DataFrame (lazy; scan-level pruning applies)."""
+    """Load one base table as a DataFrame (lazy; scan-level pruning applies).
+
+    events.ts arrives as BIGINT nanoseconds (spark.sql.legacy.parquet
+    .nanosAsLong — the file declares TIMESTAMP(NANOS), which Spark's reader
+    otherwise rejects); it is converted here to microsecond timestamps, the
+    same truncation DuckDB applies reading the file."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # set at read time, not only in our session factory, so the queries
+        # also work under a driver-provided bare SparkSession
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

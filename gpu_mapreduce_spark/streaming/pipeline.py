@@ -1,0 +1,184 @@
+"""Structured Streaming over the `events` table (builder brief
+"beyond-reference" §streaming; the reference has no streaming at all —
+SURVEY.md §0).
+
+Batch/stream duality: every streaming aggregation here shares its transform
+with a batch query in queries/streaming_batch.py — the batch run is the
+oracle-checked truth, the streaming run (file source + availableNow trigger)
+must reproduce it exactly, and tests/test_streaming.py asserts that.
+
+Scale notes: the file source is a stand-in for Kafka/Kinesis — swap
+`readStream.format("parquet")` for the bus, everything downstream is
+unchanged. Watermarks bound state: the windowed aggregation keeps only
+windows younger than the watermark; the sessionizer uses per-key
+GroupState with a processing-time timeout so abandoned users are flushed.
+State volume ∝ active keys (windows/users in the lateness horizon), not
+stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from gpu_mapreduce_spark.functions.numeric import dsum
+
+SESSION_GAP_MIN = 30
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a stream (file source; schema must be declared —
+    streaming sources can't infer). ts arrives as BIGINT nanos (the file is
+    TIMESTAMP(NANOS) — see sources/tables.py) and is converted to the same
+    microsecond timestamps the batch reader produces."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """Tumbling 1-hour counts + exact value sums per event_type. One
+    transform for both batch (with_watermark=False) and streaming
+    (True: 2-hour lateness horizon bounds window state)."""
+    if with_watermark:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Batch sessionization: a session breaks after a gap > gap_min minutes
+    without events from that user. Window-function formulation (the
+    reference has no window functions at all — SURVEY.md §2.1 note)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ms = gap_min * 60 * 1000
+    marked = events.select(
+        "user_id",
+        "ts",
+        "value",
+        (
+            (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) > gap_ms
+        ).cast("int").alias("is_new"),
+    ).select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.coalesce("is_new", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_no"),
+    )
+    return marked.groupBy("user_id", "session_no").agg(
+        F.unix_millis(F.min("ts")).alias("session_start_ms"),
+        F.unix_millis(F.max("ts")).alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    applyInPandasWithState. State = the open session (start, last ts, count,
+    value units); a session is emitted as soon as a later event proves the
+    gap. Value totals accumulate in integer units inside state (same
+    exactness discipline as functions/numeric.py).
+
+    Open sessions stay in state (NoTimeout): a long-running deployment would
+    use GroupStateTimeout.ProcessingTimeTimeout to flush idle users, but
+    under the availableNow trigger a registered timeout forces the query to
+    spin state-cleanup batches until the wall-clock deadline passes —
+    pointless when the trigger's purpose is to drain available data and
+    stop."""
+    gap_ms = gap_min * 60 * 1000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start, last, n, cents = state.get
+        else:
+            start = last = None
+            n = cents = 0
+        out: dict[str, list] = {
+            "user_id": [],
+            "session_start_ms": [],
+            "session_end_ms": [],
+            "n_events": [],
+            "sum_value": [],
+        }
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts_ms = int(ts.value // 1_000_000)  # pandas ns → ms
+            if start is None:
+                start, last, n, cents = ts_ms, ts_ms, 1, int(value * 10000)
+            elif ts_ms - last > gap_ms:
+                out["user_id"].append(user_id)
+                out["session_start_ms"].append(start)
+                out["session_end_ms"].append(last)
+                out["n_events"].append(n)
+                out["sum_value"].append(cents / 10000.0)
+                start, last, n, cents = ts_ms, ts_ms, 1, int(value * 10000)
+            else:
+                last = ts_ms
+                n += 1
+                cents += int(value * 10000)
+        state.update((start, last, n, cents))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id bigint, session_start_ms bigint, session_end_ms bigint,"
+            " n_events bigint, sum_value double"
+        ),
+        stateStructType="start bigint, last bigint, n bigint, cents bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion on the available data
+    (availableNow trigger + memory sink) and return the materialized result.
+    output_mode: 'complete' for aggregations, 'append' for stateful ops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

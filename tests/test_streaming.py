@@ -1,0 +1,51 @@
+"""Stream/batch duality checks: the streaming runs (availableNow trigger)
+must reproduce their oracle-checked batch halves."""
+
+from __future__ import annotations
+
+from gpu_mapreduce_spark.sources.tables import table
+from gpu_mapreduce_spark.streaming import pipeline
+from tests.conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_windowed_stream_equals_batch(spark):
+    batch = pipeline.windowed_counts(table(spark, SF_DIR, "events"))
+    stream = pipeline.windowed_counts(
+        pipeline.events_stream(spark, SF_DIR), with_watermark=True
+    )
+    got = pipeline.run_stream_to_memory(stream, "t_windowed", spark)
+    cols = ["window_ms", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_sessionize_stream_closes_batch_sessions(spark):
+    """availableNow processes the file as one batch, so the stateful
+    sessionizer emits exactly the sessions *closed by a later event within
+    the batch* — i.e. every batch session except each user's final one
+    (which stays in state awaiting the processing-time timeout)."""
+    batch = pipeline.sessionize_batch(table(spark, SF_DIR, "events"))
+    stream = pipeline.sessionize_stream(pipeline.events_stream(spark, SF_DIR))
+    got = pipeline.run_stream_to_memory(
+        stream, "t_sessions", spark, output_mode="append"
+    )
+    cols = ["user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"]
+    got_rows = set(_rows(got, cols))
+
+    batch_rows = [
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events, r.sum_value, r.session_no)
+        for r in batch.collect()
+    ]
+    last_no = {}
+    for u, *_rest, no in batch_rows:
+        last_no[u] = max(last_no.get(u, -1), no)
+    want = {
+        (u, s, e, n, v)
+        for (u, s, e, n, v, no) in batch_rows
+        if no != last_no[u]
+    }
+    assert got_rows == want
+    assert len(want) > 0
