@@ -164,6 +164,45 @@ def histo(kv: DataFrame, key: str = "k") -> DataFrame:
     )
 
 
+def kmv_stats(kmv: DataFrame, key: str = "k", vals: str = "vals") -> DataFrame:
+    """Stats over a grouped (KMV) frame (src/mapreduce.cpp:2937-3005
+    `kmv_stats`): group count, total packed values, largest multivalue —
+    the counters the reference prints to spot skewed groups before a
+    reduce."""
+    return kmv.agg(
+        F.count(F.lit(1)).alias("nkmv"),
+        F.sum(F.size(vals)).alias("nvalues"),
+        F.max(F.size(vals)).alias("max_nvalues"),
+        F.min(F.size(vals)).alias("min_nvalues"),
+    )
+
+
+class IncrementalKV:
+    """open/close/append — incremental KV building across multiple operations
+    (src/mapreduce.cpp:1648-1669 `open`/`close`, src/keyvalue.cpp:216
+    `append`; used by the reference's iterative algorithms to collect
+    results across rounds, e.g. MIS members in oink/luby_find.cpp:73-88 and
+    distance updates in oink/sssp.cpp:112-137).
+
+    Spark mapping: accumulate immutable DataFrames, union on close; callers
+    inside fixpoint loops should close periodically and localCheckpoint (the
+    pattern plans/iterate.py automates) so lineage stays bounded."""
+
+    def __init__(self) -> None:
+        self._parts: list[DataFrame] = []
+
+    def append(self, df: DataFrame) -> None:
+        self._parts.append(df)
+
+    def close(self) -> DataFrame:
+        if not self._parts:
+            raise ValueError("IncrementalKV.close() with nothing appended")
+        out = self._parts[0]
+        for part in self._parts[1:]:
+            out = out.unionAll(part)
+        return out
+
+
 def clone(kv: DataFrame, key: str = "k", val: str = "v") -> DataFrame:
     """KV→KMV 1:1: each pair becomes its own single-value group
     (src/mapreduce.cpp:631-656). Under typed DataFrames this is just the

@@ -139,15 +139,26 @@ def _orient(edges: DataFrame) -> DataFrame:
 
 def _oriented_intersections(oriented: DataFrame) -> DataFrame:
     """Join each oriented edge with both endpoints' out-adjacency arrays and
-    attach their intersection: (lo, hi, common ARRAY<BIGINT>)."""
-    adj = oriented.groupBy(F.col("lo").alias("v")).agg(
-        F.array_sort(F.collect_list("hi")).alias("nbrs")
+    attach their intersection: (lo, hi, common ARRAY<BIGINT>).
+
+    The oriented edge list is referenced three times (probe + both adjacency
+    builds) → materialized once. The adjacency table is |V| rows of packed
+    arrays (Σ out-degrees ≈ |E| longs total) — orders of magnitude smaller
+    than duplicating both arrays onto every edge row through a shuffle join,
+    so it is explicitly broadcast and each edge probes it map-side. When |E|
+    outgrows broadcast range, drop the hint: the same plan runs as a
+    key-partitioned join (bucket adj by v at rest)."""
+    oriented = oriented.localCheckpoint(eager=True)
+    adj = (
+        oriented.groupBy(F.col("lo").alias("v"))
+        .agg(F.array_sort(F.collect_list("hi")).alias("nbrs"))
+        .localCheckpoint(eager=True)  # referenced by both join sides
     )
     a = adj.select(F.col("v").alias("av"), F.col("nbrs").alias("a_nbrs"))
     b = adj.select(F.col("v").alias("bv"), F.col("nbrs").alias("b_nbrs"))
     return (
-        oriented.join(a, oriented.lo == a.av)
-        .join(b, oriented.hi == b.bv)
+        oriented.join(F.broadcast(a), oriented.lo == a.av)
+        .join(F.broadcast(b), oriented.hi == b.bv)
         .select("lo", "hi", F.array_intersect("a_nbrs", "b_nbrs").alias("common"))
     )
 

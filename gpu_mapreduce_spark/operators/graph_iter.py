@@ -177,7 +177,9 @@ def pagerank(
             (F.lit(teleport) + F.coalesce("csum", F.lit(0))).cast("bigint").alias("r"),
         )
 
-    out = iterate_n(ranks0, step, num_iter)
+    # checkpoint every other round: one round's un-truncated lineage is two
+    # joins deep — cheap to replay, and halving the materializations wins
+    out = iterate_n(ranks0, step, num_iter, checkpoint_every=2)
     return out.select(
         "v",
         F.col("r").alias("rank_units"),

@@ -252,6 +252,45 @@ def reduce_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_stats",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT COUNT(*) AS nkmv,
+               CAST(SUM(nv) AS BIGINT) AS nvalues,
+               MAX(nv) AS max_nvalues,
+               MIN(nv) AS min_nvalues
+        FROM (SELECT k, CAST(COUNT(*) AS INT) AS nv FROM kvpairs GROUP BY k)
+    """,
+)
+def kmv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kmv = core.collate(fixtures.kvpairs(spark, sf_dir))
+    return core.kmv_stats(kmv)
+
+
+@register(
+    "incremental_union",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, COUNT(*) AS cnt
+        FROM (SELECT k, v FROM kvpairs WHERE v % 3 = 0
+              UNION ALL SELECT k, v FROM kvpairs WHERE v % 3 = 1
+              UNION ALL SELECT k, v FROM kvpairs WHERE v % 3 = 2)
+        GROUP BY k
+    """,
+)
+def incremental_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """open/append/close (src/mapreduce.cpp:1648-1669): three appends whose
+    closed union must reconstruct the full pair multiset."""
+    kv = fixtures.kvpairs(spark, sf_dir)
+    inc = core.IncrementalKV()
+    for r in range(3):
+        inc.append(kv.filter(F.col("v") % 3 == r))
+    return inc.close().groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
     "histo",
     tags=("core",),
     oracle=f"""

@@ -114,8 +114,16 @@ def sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums of k/97 weights, so du = 97·dist is exact). Unreached vertices are
     omitted (the reference likewise only emits vertices whose distance was
     ever set, oink/sssp.cpp:170-172)."""
-    warcs = graph_iter.weighted_arcs(fixtures.wedges_u(spark, sf_dir))
-    dist, _rounds = graph_iter.sssp(warcs, _SSSP_SOURCE)
+    # derive units from the materialized edge list: weighted_arcs references
+    # its input twice (both directions), so an unmaterialized fixture would
+    # run the whole edges derivation twice
+    e = fixtures.edges_materialized(spark, sf_dir)
+    wu = e.select(
+        "src",
+        "dst",
+        ((F.col("src") * 31 + F.col("dst")) % 97 + 1).cast("bigint").alias("wu"),
+    )
+    dist, _rounds = graph_iter.sssp(graph_iter.weighted_arcs(wu), _SSSP_SOURCE)
     return dist.select("v", "du", (F.col("du") / F.lit(97.0)).alias("dist"))
 
 
