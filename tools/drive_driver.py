@@ -1,0 +1,52 @@
+"""Simulate the round driver against __spark_entry__.py at sf0.01."""
+import sys, math
+sys.path.insert(0, "/root/repo")
+import duckdb
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+
+SF = "/root/testdata/sf0.01"
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# t1 smoke
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.columns}")
+assert len(rows) > 0
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if hasattr(v, "tolist"): v = v.tolist()
+    if v is None: return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else f"{v:.12g}"
+    if hasattr(v, "isoformat"): return v.isoformat()
+    return v
+
+qs, os_ = e.queries(), e.oracle_sql()
+fails = []
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF)
+    if name not in os_:
+        print(f"{name}: rows-only, {sdf.count()} rows")
+        continue
+    scols = sorted(sdf.columns)
+    srows = sorted((tuple(norm(v) for v in r) for r in sdf.select(*scols).collect()), key=str)
+    rel = con.sql(os_[name])
+    ddf = rel.fetchdf(); ddf.columns = [c.lower() for c in ddf.columns]
+    dcols = sorted(ddf.columns)
+    drows = sorted((tuple(norm(v) for v in r) for r in ddf[[c for c in scols]].itertuples(index=False)), key=str)
+    ok = [c.lower() for c in scols] == dcols and srows == drows
+    print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(srows)} vs {len(drows)} rows)")
+    if not ok: fails.append(name)
+
+print("RESULT:", "ALL MATCH" if not fails else f"FAILS: {fails}")
+sys.exit(1 if fails else 0)
