@@ -8,6 +8,12 @@ exist (the reference's `while (nremain) { map(generate); collate; cull; }`
 loop). Self-loops are kept, as in the reference — `edge_upper` strips them
 downstream (examples/in.cc pipeline).
 
+This single implementation covers both reference variants: `rmat`
+(oink/rmat.cpp:37-71, full re-collate each round) and `rmat2`
+(oink/rmat2.cpp:50-65, incremental aggregate+add+convert) — our loop is
+already incremental (the accumulated uniques are checkpointed; each round
+only the new candidate batch is unioned in before the distinct).
+
 Determinism: the reference seeds srand48 per proc (map_rmat_generate.cpp)
 — reruns differ with proc count. We instead derive every random draw from
 `xxhash64(seed, attempt_index, level)`, a pure column expression: the same

@@ -164,6 +164,7 @@ def _pagerank_oracle(k: int = _PR_ITERS) -> str:
 
 @register(
     "pagerank",
+    bench=True,
     tags=("graph", "iterative"),
     oracle=_pagerank_oracle(),
 )

@@ -221,18 +221,30 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def edges_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical edges, materialized once (eager localCheckpoint).
+    """Canonical edges, materialized once (eager localCheckpoint) and memoized
+    per (session, sf_dir).
 
     Queries that reference `edges` several times in one plan (tri_find's two
     self-joins, degree_weight, every iterative algorithm) would otherwise
     recompute the whole derivation per reference — Catalyst doesn't reuse the
     exchange because each reference prunes different columns (verified: the
-    naive tri_count plan held 42 parquet scans). At cluster scale the
-    canonical edge list is a persisted (bucketed-by-src) table, derived once;
-    localCheckpoint is the single-session stand-in for that materialization.
+    naive tri_count plan held 42 parquet scans). The memo extends the saving
+    across queries: the driver runs every registered query in one session, so
+    the derivation (a 600k-row distinct at sf0.1) runs once per round, not
+    once per graph query. At cluster scale the canonical edge list is a
+    persisted (bucketed-by-src) table, derived once; localCheckpoint + memo
+    is the single-session stand-in for that materialization.
     """
-    return edges(spark, sf_dir).localCheckpoint(eager=True)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGES_CACHE.get(key)
+    if cached is None:
+        cached = edges(spark, sf_dir).localCheckpoint(eager=True)
+        _EDGES_CACHE[key] = cached
+    return cached
 
 
 def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,18 @@ def test_task_range(spark):
     assert sorted(r.itask for r in df.collect()) == list(range(10))
 
 
+def test_wordfreq_from_files_end_to_end(spark, corpus_dir):
+    """The reference's flagship demo pipeline (examples/wordfreq.cpp:64-93):
+    read files → tokenize → count → top-k, over the file reader."""
+    from gpu_mapreduce_spark.operators import text
+
+    docs = text_corpus.read_files(spark, corpus_dir)
+    top = text.wordfreq(text.tokenize(docs), ntop=3).collect()
+    counts = {(r.word, r.cnt) for r in top}
+    # corpus: alpha beta gamma delta — all count 1; top-3 by (cnt desc, word)
+    assert counts == {("alpha", 1), ("beta", 1), ("delta", 1)}
+
+
 def test_clone_and_scan_sink(spark, corpus_dir):
     kv = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
     cloned = core.clone(kv).collect()
