@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gpu_mapreduce_spark.registry import load_all
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,4 +28,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}
+    """Oracle SQL per query; `{SF_DIR}` templates (used by oracles that read
+    files directly rather than the pre-registered views) are resolved to the
+    driver's sf0.01 correctness dir."""
+    return {
+        name: q.oracle.replace("{SF_DIR}", ORACLE_SF_DIR)
+        for name, q in load_all().items()
+        if q.oracle is not None
+    }

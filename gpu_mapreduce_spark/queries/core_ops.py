@@ -291,6 +291,72 @@ def incremental_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_multivalues",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, array_to_string(list_sort(list(v)), ',') AS vals
+        FROM kvpairs GROUP BY k
+    """,
+)
+def sort_multivalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit sort_multivalues (src/mapreduce.cpp:2210-2357) applied to an
+    UNSORTED collate — distinguishes the operator from collate's built-in
+    determinism sort."""
+    kv = fixtures.kvpairs(spark, sf_dir)
+    kmv = core.sort_multivalues(core.collate(kv, sort=False))
+    return kmv.select(
+        "k",
+        F.array_join(F.transform("vals", lambda x: x.cast("string")), ",").alias(
+            "vals"
+        ),
+    )
+
+
+@register(
+    "clone_groups",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT k, CAST(v AS VARCHAR) AS vals FROM kvpairs
+    """,
+)
+def clone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clone (src/mapreduce.cpp:631-656): KV → KMV with every pair its own
+    single-value group; flattening each group back must reproduce the
+    original multiset."""
+    cloned = core.clone(fixtures.kvpairs(spark, sf_dir))
+    return cloned.select(
+        "k",
+        F.array_join(F.transform("vals", lambda x: x.cast("string")), ",").alias(
+            "vals"
+        ),
+    )
+
+
+@register(
+    "binary_file_map",
+    tags=("core", "sources"),
+    oracle="""
+        SELECT parse_filename(filename) AS filename, size AS nbytes
+        FROM read_blob('{SF_DIR}/*.parquet')
+    """,
+)
+def binary_file_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's map(files) input variant (src/mapreduce.cpp:1060,
+    findfiles :2812-2935) driven through Spark's binaryFile source: one row
+    per discovered file. The oracle's {SF_DIR} placeholder is resolved by
+    the registry at oracle_sql() time."""
+    from gpu_mapreduce_spark.sources.text_corpus import read_files_binary
+
+    df = read_files_binary(spark, sf_dir + "/")
+    return df.filter(F.col("path").endswith(".parquet")).select(
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("length").alias("nbytes"),
+    )
+
+
+@register(
     "histo",
     tags=("core",),
     oracle=f"""

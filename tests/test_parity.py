@@ -20,7 +20,7 @@ def test_oracle_parity(name, spark, ddb):
     if q.oracle is None:
         assert df.count() > 0  # rows-only smoke — must produce rows
         return
-    compare_frames(df, ddb.sql(q.oracle))
+    compare_frames(df, ddb.sql(q.oracle.replace("{SF_DIR}", SF_DIR)))
 
 
 def test_entry_smoke(spark):
