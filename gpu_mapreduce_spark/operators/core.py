@@ -210,11 +210,11 @@ def clone(kv: DataFrame, key: str = "k", val: str = "v") -> DataFrame:
     return kv.select(key, F.array(F.col(val)).alias("vals"))
 
 
-def scan_sink(df: DataFrame, path: str, fmt: str = "csv") -> None:
+def scan_sink(df: DataFrame, path: str, fmt: str = "csv", **options) -> None:
     """Read-only pass over all pairs into a sink (src/mapreduce.cpp:1933-2073
     `scan`; the reference's callback prints/accumulates — ours writes, the
     distributed equivalent of side-effect-per-pair)."""
-    df.write.mode("overwrite").format(fmt).save(path)
+    df.write.mode("overwrite").options(**options).format(fmt).save(path)
 
 
 def print_pairs(df: DataFrame, n: int = 20) -> None:

@@ -1,7 +1,7 @@
 """Similarity search over an embedding column (builder brief
 "beyond-reference" §similarity; no reference analog).
 
-Two paths:
+Four paths:
   cosine_topk   brute-force: broadcast the (small) query set against the
                 corpus, fold the dot product JVM-side (zip_with + aggregate —
                 no Python, no explode), rank per query. The correctness
@@ -12,6 +12,18 @@ Two paths:
                 band with the query, then exact cosine re-rank. The scale
                 path: the corpus is bucketed once, each query probes its
                 buckets instead of every row.
+  ivf_topk      inverted-file (IVF-flat): the corpus is partitioned once
+                into centroid cells; each query exhaustively re-ranks only
+                its `nprobe` nearest cells. The other classic ANN layout —
+                bounded, tunable probe cost like LSH but with
+                data-adaptive cells.
+  dup_pairs / dup_pairs_lsh
+                embedding-cosine near-duplicate pairs (the dedup tier the
+                builder brief lists alongside MinHash/SimHash): all (a < b)
+                with quantized cosine >= a threshold. `dup_pairs` is the
+                exact all-pairs baseline (oracle-able); `dup_pairs_lsh`
+                generates candidates from shared hyperplane bands and
+                verifies exactly — the corpus^2-free scale path.
 
 Similarities are emitted as sim_e6 = floor(1e6 * cosine) BIGINT: ranking and
 cross-engine comparison happen on the quantized value with vec_id
@@ -162,3 +174,142 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _quantized_sim(a: Column, b: Column) -> Column:
+    return F.floor(F.lit(1e6) * (_dot(a, b) / (_norm(a) * _norm(b)))).cast(
+        "bigint"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via an inverted file (IVF-flat).
+
+    Build: centroids = `n_centroids` hash-sampled corpus vectors
+    (deterministic: lowest xxhash64(seed, vec_id) ranks — at 100 TB this
+    sampling pass is a TABLESAMPLE + optional k-means refinement, same
+    layout); every corpus vector is assigned to its nearest centroid (one
+    pass against the broadcast centroid set — the cell assignment is
+    computed ONCE and persists, amortized over all queries).
+    Probe: each query re-ranks only its `nprobe` nearest cells by exact
+    quantized cosine. Probe cost ∝ nprobe/n_centroids of the corpus instead
+    of all of it; recall vs cosine_topk asserted in tests.
+
+    Output shape matches cosine_topk: (qid, vec_id, sim_e6)."""
+    w_pick = Window.orderBy(
+        F.xxhash64(F.lit(seed), F.col("vec_id")), F.col("vec_id")
+    )
+    centroids = (
+        embeddings.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") <= n_centroids)
+        .select(F.col("_rn").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    # cell assignment: nearest centroid per corpus vector (ties -> lower cid)
+    assigned = (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _quantized_sim(F.col("embedding"), F.col("ce")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("mx"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", (-F.col("mx.ncid")).alias("cid"))
+    )
+    # probe: nprobe nearest cells per query
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("qcs"), F.asc("cid"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "qid", "qe", "cid", _quantized_sim(F.col("qe"), F.col("ce")).alias("qcs")
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qe", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _quantized_sim(F.col("embedding"), F.col("qe")).alias("sim_e6"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def dup_pairs(embeddings: DataFrame, threshold_e6: int = 400_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: all (a < b) with
+    sim_e6 >= threshold_e6. One corpus self-join with the right side
+    broadcast — the O(n^2) correctness baseline the LSH variant is measured
+    against (use dup_pairs_lsh beyond ~10^5 vectors)."""
+    left = embeddings.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    right = embeddings.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    return (
+        left.join(F.broadcast(right), F.col("a") < F.col("b"))
+        .select("a", "b", _quantized_sim(F.col("ea"), F.col("eb")).alias("sim_e6"))
+        .filter(F.col("sim_e6") >= F.lit(threshold_e6))
+    )
+
+
+def dup_pairs_lsh(
+    embeddings: DataFrame, threshold_e6: int = 400_000, seed: int = 5
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH banding:
+    candidates = pairs sharing >= 1 of the 8 signature bands (equi-join on
+    (band, value) — never corpus^2), then exact quantized-cosine
+    verification, so output ⊆ dup_pairs with banding-controlled recall
+    (for cos >= 0.4: P[collide] = 1-(1-p^2)^8, p = 1-θ/π ≈ 0.63 → ~0.98).
+    Same candidate topology as dedup.minhash_lsh_pairs — this is the tier
+    the builder brief calls embedding-cosine near-dup."""
+    sigs = embeddings.select(
+        "vec_id", "embedding", *_sig_bands(F.col("embedding"), seed)
+    ).localCheckpoint(eager=True)
+    entries = sigs.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bv"))
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "embedding", "e.band", "e.bv")
+    ea = entries.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "band", "bv"
+    )
+    eb = entries.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "band", "bv"
+    )
+    cand = (
+        ea.join(eb, ["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ea", "eb")
+        .distinct()
+    )
+    return cand.select(
+        "a", "b", _quantized_sim(F.col("ea"), F.col("eb")).alias("sim_e6")
+    ).filter(F.col("sim_e6") >= F.lit(threshold_e6))

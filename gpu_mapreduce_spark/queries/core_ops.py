@@ -357,6 +357,56 @@ def binary_file_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gather_all",
+    tags=("core",),
+    oracle=f"""
+        {_KV}
+        SELECT 1 AS nparts, COUNT(*) AS nkv FROM kvpairs
+    """,
+)
+def gather_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gather (src/mapreduce.cpp:893-1042): concentrate all pairs onto one
+    partition without a shuffle. The checked contract: after gather(1) the
+    whole multiset lives in exactly one partition, nothing lost."""
+    g = core.gather(fixtures.kvpairs(spark, sf_dir), 1)
+    return g.withColumn("_pid", F.spark_partition_id()).agg(
+        F.countDistinct("_pid").cast("int").alias("nparts"),
+        F.count(F.lit(1)).alias("nkv"),
+    )
+
+
+@register(
+    "scan_roundtrip",
+    tags=("core", "sources"),
+    oracle=f"""
+        {_KV}
+        SELECT k, CAST(SUM(v) AS BIGINT) AS sum FROM kvpairs GROUP BY k
+    """,
+)
+def scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan + print (src/mapreduce.cpp:1933-2073, :1671-1767): a read-only
+    pass over all pairs into a formatted sink. Ours writes the pairs to a
+    headered CSV sink (the distributed form of the reference's per-pair
+    print callback), then proves nothing was lost or reformatted by reading
+    the dump back and re-aggregating it."""
+    import shutil
+    import tempfile
+
+    kv = fixtures.kvpairs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="scan_sink_")
+    try:
+        core.scan_sink(kv.coalesce(4), path, fmt="csv", header=True)
+        back = spark.read.csv(path, header=True, inferSchema=True)
+        return (
+            back.groupBy("k")
+            .agg(F.sum("v").cast("bigint").alias("sum"))
+            .localCheckpoint(eager=True)  # free the temp dir after the query
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "histo",
     tags=("core",),
     oracle=f"""

@@ -72,3 +72,54 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _queries(spark, sf_dir), k=TOP_K)
+
+
+@register("ann_ivf_topk", tags=("llm", "similarity"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: hash-sampled centroid cells assigned
+    once, each query exhaustively re-ranks only its nprobe nearest cells.
+    Rows-only (centroid choice is xxhash64-seeded); recall@k vs the
+    brute-force baseline asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _queries(spark, sf_dir), k=TOP_K, n_centroids=16, nprobe=4
+    )
+
+
+DUP_T_E6 = 400_000  # cosine >= 0.4 — the synthetic embeddings are near-random,
+#                     so higher (realistic) thresholds would select zero pairs
+
+
+@register(
+    "dedup_embedding",
+    tags=("llm", "dedup", "similarity"),
+    oracle=f"""
+        SELECT * FROM (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   CAST(FLOOR(1e6 * (
+                       list_sum(list_transform(generate_series(1, len(a.embedding)),
+                           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   )) AS BIGINT) AS sim_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE sim_e6 >= {DUP_T_E6}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline): all (a < b)
+    with quantized cosine >= {DUP_T_E6}/1e6. The oracle is the same
+    all-pairs scan; the corpus^2-free path is dedup_embedding_lsh."""
+    return similarity.dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold_e6=DUP_T_E6
+    )
+
+
+@register("dedup_embedding_lsh", tags=("llm", "dedup", "similarity"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH banded candidates + exact verification — the scale
+    path for embedding near-dup. Rows-only; soundness (⊆ dedup_embedding)
+    and recall asserted in tests."""
+    return similarity.dup_pairs_lsh(
+        table(spark, sf_dir, "embeddings"), threshold_e6=DUP_T_E6
+    )
