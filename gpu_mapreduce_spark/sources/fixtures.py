@@ -242,7 +242,16 @@ def edges_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _EDGES_CACHE.get(key)
     if cached is None:
-        cached = edges(spark, sf_dir).localCheckpoint(eager=True)
+        # re-widen before checkpointing: AQE coalesces the distinct's output
+        # by bytes, and a few MB of skinny edge rows land in 1-2 partitions —
+        # which would then cap the parallelism of every downstream arc scan
+        # (each iterative round's join probe) at 1-2 cores
+        parallelism = spark.sparkContext.defaultParallelism
+        cached = (
+            edges(spark, sf_dir)
+            .repartition(parallelism)
+            .localCheckpoint(eager=True)
+        )
         _EDGES_CACHE[key] = cached
     return cached
 
