@@ -20,6 +20,7 @@ alphabetically — warm timing is the attributable, run-to-run-stable number
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -42,6 +43,14 @@ def main() -> None:
         t_cold = time.perf_counter()
         len(q.fn(spark, sf_dir).collect())  # warm-up: first-touch + JIT
         cold = time.perf_counter() - t_cold
+        # Pay GC debt outside the timed region: drop Python references first
+        # (live Py4J proxies pin dead JVM RDDs/broadcasts and block the
+        # ContextCleaner), then force a JVM collection so earlier queries'
+        # garbage isn't collected mid-measurement. Measured effect: tri_count
+        # steady-state 0.6s +/- 0.1 vs 0.5-5s without (GC pauses land on
+        # whichever query runs when the heap fills).
+        gc.collect()
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         n = len(df.collect())  # full materialization: no expression pruning

@@ -137,44 +137,52 @@ def _orient(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_intersections(oriented: DataFrame) -> DataFrame:
-    """Join each oriented edge with both endpoints' out-adjacency arrays and
-    attach their intersection: (lo, hi, common ARRAY<BIGINT>).
+def oriented_adj(edges: DataFrame) -> DataFrame:
+    """Out-adjacency of the degree-oriented DAG: (v, nbrs ARRAY<BIGINT>).
 
-    The oriented edge list is referenced three times (probe + both adjacency
-    builds) → materialized once. The adjacency table is |V| rows of packed
-    arrays (Σ out-degrees ≈ |E| longs total) — orders of magnitude smaller
-    than duplicating both arrays onto every edge row through a shuffle join,
-    so it is explicitly broadcast and each edge probes it map-side. When |E|
-    outgrows broadcast range, drop the hint: the same plan runs as a
-    key-partitioned join (bucket adj by v at rest).
-
-    The probe side is explicitly re-widened to full parallelism before the
-    checkpoint: AQE coalesces the upstream shuffle by BYTES, and a few MB of
-    skinny edge rows land in one partition — but the intersection pass is
-    compute-bound per row (O(d_lo + d_hi) each), so byte-based coalescing
-    strands it on one core (measured 6.2s -> 1.5s at sf0.1 from this line).
-    The same applies on a real cluster: never let a byte-sized partitioning
-    carry a cpu-bound stage."""
-    sc = oriented.sparkSession.sparkContext
-    oriented = oriented.repartition(sc.defaultParallelism).localCheckpoint(
-        eager=True
-    )
-    adj = (
-        oriented.groupBy(F.col("lo").alias("v"))
-        .agg(F.array_sort(F.collect_list("hi")).alias("nbrs"))
-        .localCheckpoint(eager=True)  # referenced by both join sides
-    )
-    a = adj.select(F.col("v").alias("av"), F.col("nbrs").alias("a_nbrs"))
-    b = adj.select(F.col("v").alias("bv"), F.col("nbrs").alias("b_nbrs"))
+    One groupBy over the oriented edge list; Σ|nbrs| = |E| longs total, so
+    the whole table is orders of magnitude smaller than any per-edge
+    duplication of it. This is the materialize-once artifact every triangle
+    query probes — the DataFrame analog of the CSR structure a graph engine
+    builds before running queries (and of the reference's KMV adjacency,
+    oink/neighbor.cpp)."""
     return (
-        oriented.join(F.broadcast(a), oriented.lo == a.av)
-        .join(F.broadcast(b), oriented.hi == b.bv)
-        .select("lo", "hi", F.array_intersect("a_nbrs", "b_nbrs").alias("common"))
+        _orient(edges)
+        .groupBy(F.col("lo").alias("v"))
+        .agg(F.collect_list("hi").alias("nbrs"))
     )
 
 
-def tri_find(edges: DataFrame) -> DataFrame:
+def _adj_intersections(adj: DataFrame) -> DataFrame:
+    """Per oriented edge (lo, hi): intersect N+(lo) with N+(hi) →
+    (lo, hi, common ARRAY<BIGINT>).
+
+    The probe side is the adjacency table itself, re-exploded: each (v, nbrs)
+    row fans out to one row per out-edge CARRYING its own nbrs array, so
+    N+(lo) needs no join at all — only N+(hi) is looked up, via one broadcast
+    hash join (|V| rows of packed arrays; when |V| outgrows broadcast range,
+    drop the hint and the same plan runs key-partitioned). Explode, join and
+    intersect pipeline in a single stage with no shuffle.
+
+    The probe is explicitly re-widened to full parallelism first: AQE
+    coalesces the upstream groupBy's output by BYTES, and |V| array rows land
+    in 1-2 partitions — but the intersection pass is compute-bound
+    (O(d_lo + d_hi) per edge), so byte-based coalescing strands it on 1-2
+    cores (measured 5.5s -> 0.5s at sf0.1 from this line). Never let a
+    byte-sized partitioning carry a cpu-bound stage."""
+    sc = adj.sparkSession.sparkContext
+    probe = adj.repartition(sc.defaultParallelism).select(
+        F.col("v").alias("lo"),
+        F.col("nbrs").alias("a_nbrs"),
+        F.explode("nbrs").alias("hi"),
+    )
+    b = adj.select(F.col("v").alias("bv"), F.col("nbrs").alias("b_nbrs"))
+    return probe.join(F.broadcast(b), probe.hi == F.col("bv")).select(
+        "lo", "hi", F.array_intersect("a_nbrs", "b_nbrs").alias("common")
+    )
+
+
+def tri_find(edges: DataFrame | None = None, adj: DataFrame | None = None) -> DataFrame:
     """Triangle enumeration (oink/tri_find.cpp:43-82, Cohen's algorithm).
 
     1. degree-annotate endpoints (reduce_first/second_degree :115-180)
@@ -187,13 +195,18 @@ def tri_find(edges: DataFrame) -> DataFrame:
     Physical strategy: the reference materializes every angle as a pair
     (reduce_nsq_angles :207-276) then matches edges against them
     (reduce_emit_triangles :280-325); we ship the wedge set as packed
-    adjacency arrays (one row per edge) and intersect per edge — the same
-    asymptotics with far fewer shuffled rows (measured 2× at sf0.1), and the
-    adjacency side broadcasts while |V| ≪ |E|.
+    adjacency arrays and intersect per edge — the same asymptotics with far
+    fewer shuffled rows, and the adjacency side broadcasts while |V| ≪ |E|.
+
+    Pass `adj` (a materialized `oriented_adj`) to amortize the build across
+    triangle queries; with only `edges` the adjacency is checkpointed for
+    the duration of this query (it is referenced twice).
 
     Output: one row per triangle as the sorted vertex triple (a < b < c).
     """
-    tri = _oriented_intersections(_orient(edges)).select(
+    if adj is None:
+        adj = oriented_adj(edges).localCheckpoint(eager=True)
+    tri = _adj_intersections(adj).select(
         "lo", "hi", F.explode("common").alias("w")
     )
     return tri.select(
@@ -203,12 +216,14 @@ def tri_find(edges: DataFrame) -> DataFrame:
     )
 
 
-def tri_count(edges: DataFrame) -> DataFrame:
+def tri_count(edges: DataFrame | None = None, adj: DataFrame | None = None) -> DataFrame:
     """Triangle count without materializing triangles: sum of per-edge
     intersection sizes (the count the reference prints,
     oink/tri_find.cpp:77-79) — skips tri_find's explode entirely."""
+    if adj is None:
+        adj = oriented_adj(edges).localCheckpoint(eager=True)
     return (
-        _oriented_intersections(_orient(edges))
+        _adj_intersections(adj)
         .select(F.size("common").alias("n"))
         .agg(F.sum("n").alias("ntri"))
     )

