@@ -1,0 +1,68 @@
+"""Physical-plan audit over every registered query (SCALE.md "Global
+posture"): the properties that make a plan survive a 100 TB scale-up are
+checked mechanically, not by eyeball.
+
+Forbidden in any query's executed plan:
+  - CartesianProduct — an unkeyed all-pairs join is never acceptable; every
+    candidate-pair operator here (dedup, ANN, triangles) is bucketed by
+    construction.
+  - BatchEvalPython — a row-at-a-time Python UDF in the hot path (the
+    reference documents the per-element Python boundary as its own biggest
+    overhead, doc/Technical.txt); only Arrow-batched forms are allowed
+    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas / ...InPandasWithState).
+  - BroadcastNestedLoopJoin — allowed ONLY where the plan joins the 25-row
+    nation table against itself (the fixture's deliberate inequality join
+    building the 25-clique, fixtures.py edges_raw) or where a query is
+    whitelisted below as a deliberate scan-and-score: one pass over the
+    corpus against an explicitly broadcast, bounded probe side; anywhere
+    else a BNLJ means a join lost its equi-key.
+
+The audit plans (and, where query functions materialize fixtures, partially
+executes) every registered query at sf0.001 in one session.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gpu_mapreduce_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = load_all()
+
+# Deliberate broadcast scan-and-score plans: cost = |corpus| x |broadcast
+# side|, with the broadcast side bounded by construction. The LSH/IVF-probe
+# variants are the scale path; these are the exact baselines they are
+# measured against (operators/similarity.py docstrings).
+ALLOWED_BNLJ = {
+    "ann_bruteforce_topk": "corpus x broadcast 8-row query set (exact baseline)",
+    "ann_ivf_topk": "corpus x broadcast centroid table (cell assignment)",
+    "dedup_embedding": "O(n^2) exact near-dup baseline for dedup_embedding_lsh",
+}
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_plan_is_scale_safe(spark, name):
+    plan = _plan_of(_QUERIES[name].fn(spark, SF_DIR))
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product:\n{plan}"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF (use pandas_udf/mapInPandas):\n{plan}"
+    )
+
+    if name in ALLOWED_BNLJ:
+        return
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        # the only other sanctioned BNLJ is the nation-clique inequality
+        # join; its subtree necessarily scans the nation table
+        assert "nation" in plan[m.start() - 4000 : m.start() + 4000].lower(), (
+            f"{name}: BroadcastNestedLoopJoin outside the nation-clique "
+            f"fixture build:\n{plan}"
+        )
