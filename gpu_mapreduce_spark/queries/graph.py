@@ -49,7 +49,7 @@ def edge_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def vertex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graph.vertex_extract(fixtures.edges(spark, sf_dir))
+    return graph.vertex_extract(fixtures.edges_materialized(spark, sf_dir))
 
 
 @register(
@@ -62,7 +62,7 @@ def vertex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def degree_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     """degree with duplicate=1 (src endpoints only, oink/degree.cpp)."""
-    return graph.degree(fixtures.edges(spark, sf_dir), duplicate=1)
+    return graph.degree(fixtures.edges_materialized(spark, sf_dir), duplicate=1)
 
 
 @register(
@@ -75,7 +75,7 @@ def degree_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """degree with duplicate=2 (both endpoints — undirected degree)."""
-    return graph.degree(fixtures.edges(spark, sf_dir), duplicate=2)
+    return graph.degree(fixtures.edges_materialized(spark, sf_dir), duplicate=2)
 
 
 @register(
@@ -91,7 +91,7 @@ def degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graph.degree_stats(fixtures.edges(spark, sf_dir), duplicate=2)
+    return graph.degree_stats(fixtures.edges_materialized(spark, sf_dir), duplicate=2)
 
 
 @register(
@@ -123,7 +123,7 @@ def degree_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = graph.neighbor(fixtures.edges(spark, sf_dir))
+    adj = graph.neighbor(fixtures.edges_materialized(spark, sf_dir))
     return adj.select(
         "v",
         F.array_join(
