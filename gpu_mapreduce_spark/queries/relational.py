@@ -119,3 +119,61 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+_Q3_ORACLE = f"""
+        SELECT l.l_orderkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+
+@register(
+    "q3_bucketed",
+    bench=True,
+    tags=("relational", "join", "bucketed"),
+    oracle=_Q3_ORACLE,
+)
+def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3_top_orders on orders/lineitem CO-BUCKETED by orderkey — the
+    at-rest layout q3's docstring promises at cluster scale, made real
+    (sources/bucketed.py). Both bucketed scans report
+    HashPartitioning(orderkey, 16), so the fact-fact sort-merge join AND the
+    downstream groupBy(l_orderkey, ...) run with ZERO exchanges
+    (tests/test_bucketed.py asserts it); the only data movement left in the
+    whole query is the customer broadcast and the top-k gather. First call
+    per session pays the one-time bucketed write (ingest-time work on a real
+    cluster)."""
+    from gpu_mapreduce_spark.sources.bucketed import bucketed_table
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    co = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        l.join(co, l.l_orderkey == co.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
