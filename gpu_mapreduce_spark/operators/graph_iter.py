@@ -71,23 +71,27 @@ def cc_find(edges: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:
     labels = (
         arcs.select(F.col("src").alias("v"))
         .distinct()
-        .select("v", F.col("v").alias("label"))
+        .select("v", F.col("v").alias("label"), F.lit(True).alias("changed"))
     )
 
     def step(lab: DataFrame) -> DataFrame:
+        # every vertex appears as a dst (arcs are bidirected), so nbr_min
+        # covers the whole vertex set and the merge join is inner; the
+        # changed flag rides along for free, so convergence needs no
+        # prev-vs-cur comparison join
         nbr_min = (
-            arcs.join(F.broadcast(lab), arcs.src == lab.v)
+            arcs.join(F.broadcast(lab.select("v", "label")), arcs.src == lab.v)
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("label").alias("ml"))
         )
-        return lab.join(nbr_min, lab.v == nbr_min.nv, "left").select(
+        return lab.join(nbr_min, lab.v == nbr_min.nv).select(
             lab.v.alias("v"),
-            F.least(F.col("label"), F.coalesce("ml", F.col("label"))).alias("label"),
+            F.least(F.col("label"), F.col("ml")).alias("label"),
+            (F.col("ml") < F.col("label")).alias("changed"),
         )
 
-    def changed(prev: DataFrame, cur: DataFrame) -> int:
-        p = prev.select(F.col("v").alias("pv"), F.col("label").alias("pl"))
-        return cur.join(p, cur.v == p.pv).filter(F.col("label") != F.col("pl")).count()
+    def changed(_prev: DataFrame, cur: DataFrame) -> int:
+        return cur.filter("changed").count()
 
     fix, rounds = fixpoint(labels, step, changed, max_iter)
     return fix.select("v", F.col("label").alias("zone")), rounds

@@ -6,8 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gpu_mapreduce_spark.functions.numeric import sql_davg
 from gpu_mapreduce_spark.operators import textstats as ts
 from gpu_mapreduce_spark.registry import register
+from gpu_mapreduce_spark.sources import fixtures
 from gpu_mapreduce_spark.sources.tables import table
 
 # DuckDB mirror of operators/textstats.tokens
@@ -99,3 +101,81 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_clean_corpus",
+    bench=True,
+    tags=("llm", "textstats", "dedup", "pipeline"),
+    oracle=f"""
+        {fixtures.duckdb_with('corpus')},
+        survivors AS (
+            SELECT c.doc_id, c.text
+            FROM corpus c
+            JOIN (
+                SELECT MIN(doc_id) AS keep_id
+                FROM (SELECT doc_id,
+                             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+                      FROM corpus)
+                GROUP BY fp
+            ) k ON c.doc_id = k.keep_id
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_filter(toks, t -> lower(t) IN ({_inlist('en')}))) AS BIGINT)
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                   (len(toks) >= 10 AND len(toks) <= 10000
+                    AND CAST(len(list_filter(toks, t -> lower(t) IN ({_inlist('en')}))) AS BIGINT)
+                        / CAST(len(toks) AS DOUBLE) >= 0.01
+                    AND CAST(len(list_distinct(toks)) AS BIGINT)
+                        / CAST(len(toks) AS DOUBLE) >= 0.2) AS keep,
+                   CAST(len(list_filter(toks, t -> lower(t) IN ({_inlist('en')}))) AS INT) AS s_en,
+                   CAST(len(list_filter(toks, t -> lower(t) IN ({_inlist('de')}))) AS INT) AS s_de,
+                   CAST(len(list_filter(toks, t -> lower(t) IN ({_inlist('es')}))) AS INT) AS s_es,
+                   CAST(len(list_filter(toks, t -> lower(t) IN ({_inlist('fr')}))) AS INT) AS s_fr
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM survivors)
+        )
+        SELECT {_LANG_CASE} AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               {sql_davg('stop_ratio')} AS avg_stop_ratio
+        FROM scored
+        WHERE keep
+        GROUP BY 1
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline, composed from the
+    layer's own operators over the dup-injected `corpus` fixture:
+    exact dedup (survivor = min doc_id) -> quality gate -> language ID ->
+    per-language corpus summary. One registered query proving the operators
+    compose — a reference user's whole preprocessing script as one
+    declarative plan (Catalyst fuses the three token derivations over the
+    same scan; the only shuffles are the dedup groupBy and the final
+    6-group aggregate)."""
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.functions.numeric import davg
+    from gpu_mapreduce_spark.sources import fixtures as fx
+
+    corpus = fx.corpus(spark, sf_dir)
+    keep_ids = (
+        ts.fingerprint(corpus)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = corpus.join(keep_ids, "doc_id")
+    scored = ts.quality_score(survivors).select("doc_id", "n_tokens", "stop_ratio", "keep")
+    langs = ts.lang_id(survivors).select("doc_id", "guess")
+    return (
+        scored.filter("keep")
+        .join(langs, "doc_id")
+        .groupBy(F.col("guess").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            davg(F.col("stop_ratio")).alias("avg_stop_ratio"),
+        )
+    )
