@@ -41,7 +41,8 @@ def bucketed_table(
     sorted) by `bucket_col` — written once per (session, sf_dir, table) into
     a temp dir, scanned from then on with HashPartitioning visible to the
     planner."""
-    tbl = f"bkt_{name}_{bucket_col}_{nbuckets}"
+    sf_tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"bkt_{sf_tag}_{name}_{bucket_col}_{nbuckets}"
     key = (spark.sparkContext.applicationId, sf_dir, name, tbl)
     if key not in _REGISTERED:
         path = tempfile.mkdtemp(prefix=f"{tbl}_")
