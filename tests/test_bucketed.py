@@ -44,3 +44,15 @@ def test_q3_bucketed_matches_plain(spark):
     bucketed = qs["q3_bucketed"].fn(spark, SF_DIR).collect()
     plain = qs["q3_top_orders"].fn(spark, SF_DIR).collect()
     assert [r.asDict() for r in bucketed] == [r.asDict() for r in plain]
+
+
+def test_bucketed_tables_isolated_across_sf_dirs(spark):
+    # regression: the catalog name must be sf-qualified — interleaving two
+    # scale dirs in one session previously overwrote the table and stale
+    # handles read the other scale's data
+    qs = load_all()
+    a = qs["q3_bucketed"].fn(spark, SF_DIR).collect()
+    b = qs["q3_bucketed"].fn(spark, "/root/testdata/sf0.01").collect()
+    a2 = qs["q3_bucketed"].fn(spark, SF_DIR).collect()
+    assert a == a2
+    assert a != b
