@@ -110,6 +110,10 @@ def jaccard_pairs(
     If J(A,B) >= t the pair is guaranteed to collide on some exposed shingle
     (pigeonhole on the shared global order), so candidate generation is
     complete while hot (frequent) shingles never become join keys."""
+    # widen before shingling: a small parquet corpus arrives in 2-3 input
+    # splits, which would strand the compute-bound shingle build AND every
+    # post-checkpoint hash pass on as many cores (SCALE.md checkpoint hygiene)
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     sh = shingle_set(corpus, k).localCheckpoint(eager=True)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     ordered = (
@@ -158,6 +162,10 @@ def minhash_lsh_pairs(
     This is the scale path: signature cost is linear in shingle count and
     bucket joins never touch non-colliding docs."""
     nperm = bands * rows
+    # widen before shingling: a small parquet corpus arrives in 2-3 input
+    # splits, which would strand the compute-bound shingle build AND every
+    # post-checkpoint hash pass on as many cores (SCALE.md checkpoint hygiene)
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     sh = shingle_set(corpus, k).localCheckpoint(eager=True)
     sig = sh.groupBy("doc_id").agg(
         *[
