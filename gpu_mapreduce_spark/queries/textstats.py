@@ -20,6 +20,14 @@ def _inlist(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in ts.STOPWORDS[lang])
 
 
+def _wide(df):
+    """Token/shingle passes are compute-bound and the documents parquet
+    arrives in a single input split at test scale — widen to full
+    parallelism first (SCALE.md checkpoint hygiene; no pushdown lost: these
+    queries scan every row)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 @register(
     "textstats_tokens",
     bench=True,
@@ -37,7 +45,7 @@ def _inlist(lang: str) -> str:
     """,
 )
 def textstats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.token_stats(table(spark, sf_dir, "documents"))
+    return ts.token_stats(_wide(table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -59,7 +67,7 @@ def textstats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.quality_score(table(spark, sf_dir, "documents"))
+    return ts.quality_score(_wide(table(spark, sf_dir, "documents")))
 
 
 _LANG_CASE = f"""
@@ -87,7 +95,7 @@ _LANG_CASE = f"""
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.lang_id(table(spark, sf_dir, "documents"))
+    return ts.lang_id(_wide(table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -100,7 +108,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.fingerprint(table(spark, sf_dir, "documents"))
+    return ts.fingerprint(_wide(table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -159,7 +167,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpu_mapreduce_spark.functions.numeric import davg
     from gpu_mapreduce_spark.sources import fixtures as fx
 
-    corpus = fx.corpus(spark, sf_dir)
+    corpus = _wide(fx.corpus(spark, sf_dir))
     keep_ids = (
         ts.fingerprint(corpus)
         .groupBy("fp")
