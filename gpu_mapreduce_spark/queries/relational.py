@@ -24,11 +24,7 @@ from gpu_mapreduce_spark.sources.tables import table
 _Q1_CUTOFF = "1998-09-02"
 
 
-@register(
-    "q1_pricing_summary",
-    bench=True,
-    tags=("relational", "flagship"),
-    oracle=f"""
+_Q1_SQL = f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_quantity')} AS sum_qty,
                {sql_dsum('l_extendedprice')} AS sum_base_price,
@@ -41,7 +37,14 @@ _Q1_CUTOFF = "1998-09-02"
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
         GROUP BY l_returnflag, l_linestatus
-    """,
+    """
+
+
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("relational", "flagship"),
+    oracle=_Q1_SQL,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the flagship end-to-end slice (SURVEY.md §7 step 1).
@@ -177,3 +180,16 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@register("q1_sql_dual", tags=("relational", "sql"), oracle=_Q1_SQL)
+def q1_sql_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle string itself, executed by Spark SQL over temp views of
+    the base tables — one ANSI-SQL text drives BOTH engines (the fixed-point
+    discipline in functions/numeric.py is what makes that possible: FLOOR /
+    BIGINT sums are bit-identical everywhere). Demonstrates the spark.sql
+    surface next to the DataFrame API."""
+    from gpu_mapreduce_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
