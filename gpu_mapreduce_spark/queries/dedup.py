@@ -73,11 +73,34 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(fixtures.corpus(spark, sf_dir), threshold=0.8)
 
 
-@register("dedup_minhash_lsh", bench=True, tags=("llm", "dedup"))
+@register(
+    "dedup_minhash_lsh",
+    bench=True,
+    tags=("llm", "dedup"),
+    oracle=f"""
+        {_C},
+        {_SH_SQL}
+        SELECT a, b, inter / CAST(na + nb - inter AS DOUBLE) AS jac
+        FROM (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   len(list_intersect(x.s, y.s)) AS inter,
+                   len(x.s) AS na, len(y.s) AS nb
+            FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+        )
+        WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.8
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified to J >= 0.8 — the 100-TB default
-    path (rows-only: xxhash64 signatures aren't reproducible in SQL;
-    soundness + recall vs dedup_jaccard_pairs asserted in tests)."""
+    """MinHash-LSH candidates verified to J >= 0.8 — the 100-TB default path.
+
+    The oracle is the EXACT all-pairs Jaccard set (same SQL as
+    dedup_jaccard_pairs): because every LSH candidate is verified with exact
+    Jaccard, output == exact set iff banded recall is 1 — and with b=16, r=2
+    a true pair at J=0.8 escapes all bands with p ≈ 1e-7. Signatures are
+    seed-deterministic, so this either holds for the fixed fixture or
+    hash-mismatches loudly; verified EQUAL at sf0.001 and sf0.01. A recall
+    regression (band/row retuning, hash change) is exactly what this gate
+    should catch."""
     return dedup.minhash_lsh_pairs(fixtures.corpus(spark, sf_dir), threshold=0.8)
 
 

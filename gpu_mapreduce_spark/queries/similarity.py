@@ -115,11 +115,31 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_lsh", tags=("llm", "dedup", "similarity"))
+@register(
+    "dedup_embedding_lsh",
+    tags=("llm", "dedup", "similarity"),
+    oracle=f"""
+        SELECT * FROM (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   CAST(FLOOR(1e6 * (
+                       list_sum(list_transform(generate_series(1, len(a.embedding)),
+                           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   )) AS BIGINT) AS sim_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE sim_e6 >= {DUP_T_E6}
+    """,
+)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH banded candidates + exact verification — the scale
-    path for embedding near-dup. Rows-only; soundness (⊆ dedup_embedding)
-    and recall asserted in tests."""
+    """Hyperplane-LSH banded candidates + exact cosine verification — the
+    scale path for embedding near-dup.
+
+    Oracle = the EXACT all-pairs scan (same SQL as dedup_embedding):
+    verification makes output == exact set iff LSH recall is 1, and the
+    seeded hyperplanes are deterministic, so equality either holds for the
+    fixed fixture (verified at sf0.001/sf0.01) or the driver hash-mismatches
+    — a recall regression is what this gate exists to catch."""
     return similarity.dup_pairs_lsh(
         table(spark, sf_dir, "embeddings"), threshold_e6=DUP_T_E6
     )
