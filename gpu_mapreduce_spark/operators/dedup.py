@@ -24,8 +24,11 @@ Scale notes: every stage is an equi-join or groupBy on shingle/band/pair
 keys — shuffle volume is O(sum of shingles + candidates), and candidate
 counts are controlled by prefix length / band width, not corpus size^2.
 Verification joins ship only (doc_id, shingle) pairs for candidate docs.
-All hashing is engine-deterministic (xxhash64 column expressions); no
-Python in any row path.
+All hashing is engine-deterministic column expressions — xxhash64 where the
+hash is internal machinery (MinHash permutations: the oracle checks the
+verified OUTPUT against the exact pair set, not the signatures), md5-derived
+where the hash defines the result (SimHash: the oracle recomputes the same
+signature in SQL). No Python in any row path.
 """
 
 from __future__ import annotations
@@ -204,10 +207,30 @@ SIMHASH_BITS = 64
 _SIMHASH_BANDS = 4  # 4 x 16-bit bands: complete for hamming distance <= 3
 
 
+def _token_bits(t: Column, seed: int) -> Column:
+    """64 hash bits for one token, from md5(seed|token): bits 0..31 from the
+    integer value of hex chars 1-15, bits 32..63 from chars 16-30. md5 (not
+    xxhash64) so the oracle can reproduce the signature — DuckDB parses the
+    same hex slices with ('0x'||substr(md5(s),1,15))::BIGINT and gets
+    identical 60-bit values (only the low 32 of each are used). The repeated
+    md5/conv subtrees collapse under codegen subexpression elimination."""
+    m = F.md5(F.concat_ws("|", F.lit(str(seed)), t))
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
+    return F.array(
+        *[
+            F.shiftrightunsigned(h1 if b < 32 else h2, b if b < 32 else b - 32)
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+
+
 def simhash_sigs(corpus: DataFrame, seed: int = 7, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: per-bit majority vote over xxhash64 of each
-    distinct token. Pure array-fold codegen (no Python, no explode):
-    (doc_id, sig BIGINT, b0..b3 16-bit band values).
+    """64-bit SimHash per doc: per-bit majority vote over a portable
+    md5-derived hash of each distinct token. Pure array-fold codegen (no
+    Python, no explode): (doc_id, sig BIGINT, b0..b3 16-bit band values).
 
     Bit positions are Python-loop-unrolled (shiftleft/shiftrightunsigned
     take literal shift amounts only)."""
@@ -217,14 +240,7 @@ def simhash_sigs(corpus: DataFrame, seed: int = 7, text_col: str = "text") -> Da
         F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, t: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.xxhash64(F.lit(seed), t), b)
-                    .bitwiseAND(F.lit(1))
-                    .cast("int")
-                    for b in range(SIMHASH_BITS)
-                ]
-            ),
+            _token_bits(t, seed),
             lambda c, bit: c + bit * 2 - 1,  # +1 for set bit, -1 for clear
         ),
     )

@@ -104,8 +104,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(fixtures.corpus(spark, sf_dir), threshold=0.8)
 
 
-@register("dedup_simhash", tags=("llm", "dedup"))
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup"),
+    oracle=f"""
+        {_C},
+        toksrc AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                             t -> t <> '')) AS toks
+            FROM corpus
+        ),
+        th AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('7|' || t), 1, 15))::BIGINT AS h1,
+                   ('0x' || substr(md5('7|' || t), 16, 15))::BIGINT AS h2
+            FROM (SELECT doc_id, unnest(toks) AS t FROM toksrc)
+        ),
+        bitvotes AS (
+            SELECT doc_id, bs.b AS b,
+                   2 * SUM(CASE WHEN bs.b < 32 THEN (h1 >> bs.b) & 1
+                                ELSE (h2 >> (bs.b - 32)) & 1 END)
+                     - COUNT(*) AS vote
+            FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+            GROUP BY doc_id, bs.b
+        ),
+        bands AS (
+            SELECT doc_id, b // 16 AS band,
+                   SUM(CASE WHEN vote > 0
+                            THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS bv
+            FROM bitvotes GROUP BY doc_id, b // 16
+        ),
+        sigs4 AS (
+            SELECT c.doc_id,
+                   COALESCE(MAX(CASE WHEN band = 0 THEN bv END), 0) AS b0,
+                   COALESCE(MAX(CASE WHEN band = 1 THEN bv END), 0) AS b1,
+                   COALESCE(MAX(CASE WHEN band = 2 THEN bv END), 0) AS b2,
+                   COALESCE(MAX(CASE WHEN band = 3 THEN bv END), 0) AS b3
+            FROM corpus c LEFT JOIN bands USING (doc_id)
+            GROUP BY c.doc_id
+        )
+        SELECT a, b, dist FROM (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                        AS INTEGER) AS dist
+            FROM sigs4 x JOIN sigs4 y ON x.doc_id < y.doc_id
+        ) WHERE dist <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance <= 3 pairs (band-complete candidate
-    generation; verification by bit_count of XOR)."""
+    generation; verification by bit_count of XOR).
+
+    The signature hash is md5-derived (operators/dedup._token_bits)
+    specifically so this oracle can recompute the IDENTICAL signature in
+    DuckDB — the SQL above rebuilds per-token bits, majority votes, 16-bit
+    bands, and the all-pairs band-XOR popcount (equal to full 64-bit
+    Hamming distance since bands partition the signature)."""
     return dedup.simhash_pairs(fixtures.corpus(spark, sf_dir), max_dist=3)
