@@ -220,10 +220,13 @@ def luby_find(edges: DataFrame, seed: int = 12345, max_iter: int = 50) -> tuple[
     :238); repeat until no vertex is undecided. Expected O(log V) rounds.
 
     The reference's priorities come from per-proc drand48 (map_vert_random)
-    — rerun- and layout-dependent. Ours are (xxhash64(seed, v), v): pure,
-    collision-free (the id tiebreak), so the MIS is a deterministic function
-    of (graph, seed) — required for reproducible tests, same trade the rmat
-    generator makes.
+    — rerun- and layout-dependent. Ours are (md5-derived hash of (seed, v),
+    v): pure, collision-free (the id tiebreak), so the MIS is a
+    deterministic function of (graph, seed) — required for reproducible
+    tests, same trade the rmat generator makes. The hash is the portable
+    md5-hex-slice form (not xxhash64) so the DuckDB oracle can assign the
+    IDENTICAL priorities and replay the rounds in SQL
+    (queries/rmat_gen._luby_oracle).
 
     Returns ((v) MIS members, rounds)."""
     arcs = _ckpt_by_dst(bidirect(edges))
@@ -231,7 +234,13 @@ def luby_find(edges: DataFrame, seed: int = 12345, max_iter: int = 50) -> tuple[
     # status: 'u' undecided / 'i' in MIS / 'o' out (a MIS neighbor)
     state0 = verts.select(
         "v",
-        F.xxhash64(F.lit(seed), F.col("v")).alias("pri"),
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("v"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pri"),
         F.lit("u").alias("status"),
     )
 

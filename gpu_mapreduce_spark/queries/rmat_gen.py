@@ -1,9 +1,16 @@
-"""Generator + MIS queries (rows-only driver entries: the graphs are
-self-generated or the algorithm output is set-valued, so there is no SQL
-oracle — invariants are enforced in-query (a violated invariant yields zero
-rows, failing the driver's rows-only check) and cross-checked independently
-in tests/test_graph_algorithms.py (union-find CC, independence/maximality
-anti-joins, determinism fingerprints)."""
+"""Generator + MIS queries.
+
+The rmat entries are rows-only (the generator's generate-and-cull loop is
+data-dependent iteration with no SQL analog) — invariants are enforced
+in-query (a violated invariant yields zero rows, failing the driver's
+rows-only check) and cross-checked independently in
+tests/test_graph_algorithms.py (union-find CC, independence/maximality
+anti-joins, determinism fingerprints).
+
+luby_find IS oracle-checked: its priorities use the portable md5-hex-slice
+hash, so the DuckDB oracle assigns identical priorities and replays the
+same synchronous rounds as an unrolled CTE chain (the cc_find/sssp oracle
+strategy — queries/graph_iter.py)."""
 
 from __future__ import annotations
 
@@ -67,11 +74,61 @@ def rmat_cc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_iter.cc_stats(cc)
 
 
-@register("luby_find", tags=("graph", "iterative"))
+_LUBY_STAGES = 12  # measured convergence: 4 (sf0.001) / 7 (sf0.01); margin 5
+
+
+def _luby_oracle(k: int = _LUBY_STAGES, seed: int = _SEED) -> str:
+    """Unrolled K synchronous Luby rounds. Each round over the undecided
+    subgraph: winners are strict (pri, v) minima of their closed undecided
+    neighborhood, their neighbors drop out. Extra rounds past convergence
+    are no-ops (the undecided set is empty), so overshoot is harmless."""
+    parts = [
+        fixtures.duckdb_with("edges"),
+        ", arcs AS MATERIALIZED (SELECT src, dst FROM edges"
+        " UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+        f""", s0 AS MATERIALIZED (
+            SELECT v,
+                   ('0x' || substr(md5('{seed}|' || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS pri,
+                   'u' AS status
+            FROM (SELECT DISTINCT src AS v FROM arcs)
+        )""",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f""", w{i} AS MATERIALIZED (
+                SELECT u.v FROM (SELECT v, pri FROM s{p} WHERE status = 'u') u
+                LEFT JOIN (
+                    SELECT a.dst AS v, MIN({{'p': s.pri, 'q': s.v}}) AS mn
+                    FROM arcs a
+                    JOIN (SELECT v, pri FROM s{p} WHERE status = 'u') s ON a.src = s.v
+                    JOIN (SELECT v FROM s{p} WHERE status = 'u') d ON a.dst = d.v
+                    GROUP BY a.dst
+                ) n ON u.v = n.v
+                WHERE n.v IS NULL OR {{'p': u.pri, 'q': u.v}} < n.mn
+            ), l{i} AS MATERIALIZED (
+                SELECT DISTINCT a.dst AS v FROM arcs a JOIN w{i} w ON a.src = w.v
+            ), s{i} AS MATERIALIZED (
+                SELECT s.v, s.pri,
+                       CASE WHEN s.status <> 'u' THEN s.status
+                            WHEN w.v IS NOT NULL THEN 'i'
+                            WHEN l.v IS NOT NULL THEN 'o'
+                            ELSE 'u' END AS status
+                FROM s{p} s
+                LEFT JOIN w{i} w ON s.v = w.v
+                LEFT JOIN l{i} l ON s.v = l.v
+            )"""
+        )
+    parts.append(f"SELECT v FROM s{k} WHERE status = 'i'")
+    return "\n".join(parts)
+
+
+@register("luby_find", tags=("graph", "iterative"), oracle=_luby_oracle())
 def luby_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIS members on the edges fixture (examples/in.luby pipeline).
-    Deterministic given the seed; independence + maximality are asserted via
-    anti-joins in tests/test_graph_algorithms.py."""
+    Deterministic given the seed (portable md5-derived priorities — the
+    oracle replays identical rounds in SQL); independence + maximality are
+    additionally asserted via anti-joins in tests/test_graph_algorithms.py."""
     mis, _rounds = graph_iter.luby_find(
         fixtures.edges_materialized(spark, sf_dir), seed=_SEED
     )
