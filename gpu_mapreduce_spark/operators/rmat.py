@@ -16,10 +16,15 @@ only the new candidate batch is unioned in before the distinct).
 
 Determinism: the reference seeds srand48 per proc (map_rmat_generate.cpp)
 — reruns differ with proc count. We instead derive every random draw from
-`xxhash64(seed, attempt_index, level)`, a pure column expression: the same
-seed yields the same graph at any parallelism, which is what makes the
+a pure column expression over (seed, attempt_index, level): the same seed
+yields the same graph at any parallelism, which is what makes the
 invariant tests (exact edge count, stable fingerprint, union-find CC
-cross-check) possible.
+cross-check) possible. The draw is the portable md5-hex-slice hash (the
+integer value of md5 hex chars 1-15, top 53 bits → uniform double) rather
+than xxhash64, so the DuckDB oracle can replay the ENTIRE generate-and-cull
+trace in SQL — identical candidates, identical round boundaries — and the
+rmat queries are hash-verified, not just invariant-checked
+(queries/rmat_gen.py).
 
 Scale notes: generation is embarrassingly parallel codegen over spark.range
 (no Python, no shuffle); each cull round is one distinct() shuffle over at
@@ -38,14 +43,17 @@ from pyspark.sql import functions as F
 
 def _descend(n_levels: int, a: float, b: float, c: float, seed: int):
     """Column expressions (src, dst) for one candidate edge: N quadrant
-    choices driven by xxhash64(seed, attempt id, level)."""
+    choices driven by the portable md5-hex-slice hash of (seed, attempt id,
+    level) — 60-bit value, top 53 bits kept so the BIGINT→DOUBLE conversion
+    is exact (identical in the JVM and DuckDB)."""
     ab, abc = a + b, a + b + c
     src = F.lit(0).cast("long")
     dst = F.lit(0).cast("long")
     for level in range(n_levels):
-        h = F.xxhash64(F.lit(seed), F.col("id"), F.lit(level))
-        # top 53 bits → uniform double in [0, 1)
-        u = F.shiftrightunsigned(h, 11).cast("double") * F.lit(1.0 / (1 << 53))
+        m = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id"), F.lit(str(level))))
+        h = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        # 60-bit value >> 7 = top 53 bits → uniform double in [0, 1)
+        u = F.shiftrightunsigned(h, 7).cast("double") * F.lit(1.0 / (1 << 53))
         bit = F.lit(1 << (n_levels - 1 - level)).cast("long")
         qr = F.when(u < ab, F.lit(0)).otherwise(F.lit(1)).cast("long")
         qc = (

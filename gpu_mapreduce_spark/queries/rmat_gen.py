@@ -1,16 +1,21 @@
-"""Generator + MIS queries.
+"""Generator + MIS queries — ALL oracle-checked.
 
-The rmat entries are rows-only (the generator's generate-and-cull loop is
-data-dependent iteration with no SQL analog) — invariants are enforced
-in-query (a violated invariant yields zero rows, failing the driver's
-rows-only check) and cross-checked independently in
-tests/test_graph_algorithms.py (union-find CC, independence/maximality
-anti-joins, determinism fingerprints).
+Every random draw in this module is the portable md5-hex-slice hash, so
+the DuckDB oracles replay the exact computation in SQL:
 
-luby_find IS oracle-checked: its priorities use the portable md5-hex-slice
-hash, so the DuckDB oracle assigns identical priorities and replays the
-same synchronous rounds as an unrolled CTE chain (the cc_find/sssp oracle
-strategy — queries/graph_iter.py)."""
+  rmat*      the ENTIRE generate-and-cull trace — per-round batch ids,
+             quadrant descent, global cull — as an unrolled CTE chain whose
+             per-round batch size comes from scalar subqueries over the
+             previous round's unique count (the trace is deterministic
+             given the hash, so round boundaries agree by construction;
+             rounds past convergence generate empty batches and are no-ops).
+  luby_find  identical priorities + the same synchronous rounds unrolled
+             (the cc_find/sssp oracle strategy — queries/graph_iter.py).
+
+Invariants additionally enforced in-query for rmat (a violated invariant
+yields zero rows) and cross-checked in tests/test_graph_algorithms.py
+(union-find CC, independence/maximality anti-joins, determinism
+fingerprints)."""
 
 from __future__ import annotations
 
@@ -33,12 +38,90 @@ def _gen(spark: SparkSession):
     return rmat.rmat_edges(spark, _N, _NZ, _A, _B, _C, seed=_SEED)
 
 
-@register("rmat", tags=("graph", "generator"))
+_GEN_STAGES = 8  # measured: 5 generate-and-cull rounds at (N=12, Nz=4); margin 3
+_CC_STAGES_RMAT = 10  # measured: cc_find converges in 5 rounds; margin 5
+_TARGET = _NZ << _N
+
+
+def _rmat_edges_sql(k: int = _GEN_STAGES) -> str:
+    """WITH-chain replaying the generate-and-cull loop: e{k} holds the final
+    directed edge set. Round i draws `need` fresh attempt ids (scalar
+    subqueries over round i-1's unique count), descends N quadrant levels
+    per id with the portable hash, and re-culls globally — exactly
+    operators/rmat.rmat_edges."""
+    ab, abc = _A + _B, _A + _B + _C
+    u_expr = (
+        f"(('0x' || substr(md5('{_SEED}|' || CAST(id AS VARCHAR) || '|' ||"
+        f" CAST(l AS VARCHAR)), 1, 15))::BIGINT >> 7)::DOUBLE * {2.0 ** -53!r}"
+    )
+    parts = [
+        f"""WITH lv AS (SELECT unnest(generate_series(0, {_N - 1})) AS l),
+        m0 AS (SELECT CAST(0 AS BIGINT) AS gtot, CAST({_TARGET} AS BIGINT) AS need)"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        union = (
+            f"SELECT src, dst FROM c{i}"
+            if p == 0
+            else f"SELECT src, dst FROM e{p} UNION ALL SELECT src, dst FROM c{i}"
+        )
+        parts.append(
+            f""", g{i} AS MATERIALIZED (
+                SELECT (SELECT gtot FROM m{p}) + gs.g AS id
+                FROM generate_series(0, {_TARGET - 1}) gs(g)
+                WHERE gs.g < (SELECT need FROM m{p})
+            ), c{i} AS MATERIALIZED (
+                SELECT id,
+                       CAST(SUM(CASE WHEN u >= {ab!r} THEN b ELSE 0 END) AS BIGINT) AS src,
+                       CAST(SUM(CASE WHEN (u >= {_A!r} AND u < {ab!r}) OR u >= {abc!r}
+                                     THEN b ELSE 0 END) AS BIGINT) AS dst
+                FROM (SELECT id, l, {u_expr} AS u,
+                             (1::BIGINT << ({_N} - 1 - l)) AS b
+                      FROM g{i}, lv)
+                GROUP BY id
+            ), e{i} AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({union})
+            ), m{i} AS (
+                SELECT (SELECT gtot FROM m{p}) + (SELECT need FROM m{p}) AS gtot,
+                       {_TARGET} - (SELECT COUNT(*) FROM e{i}) AS need
+            )"""
+        )
+    return "\n".join(parts)
+
+
+def _rmat_canon_sql(k: int = _GEN_STAGES) -> str:
+    """Extend the edge chain with the canonicalized (edge_upper) graph."""
+    return (
+        _rmat_edges_sql(k)
+        + f""", canon AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+            FROM e{k} WHERE src <> dst
+        )"""
+    )
+
+
+@register(
+    "rmat",
+    tags=("graph", "generator"),
+    oracle=f"""
+        {_rmat_edges_sql()}
+        SELECT CAST({_TARGET} AS INTEGER) AS target,
+               CAST(COUNT(*) AS BIGINT) AS nedges,
+               CAST((SELECT COUNT(*) FROM (
+                   SELECT DISTINCT least(src, dst), greatest(src, dst)
+                   FROM e{_GEN_STAGES})) AS BIGINT) AS ncanon,
+               CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS nself,
+               CAST(SUM(src * {1 << 13} + dst) AS BIGINT) AS fingerprint
+        FROM e{_GEN_STAGES}
+        HAVING COUNT(*) = {_TARGET}
+    """,
+)
 def rmat_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One stats row for the generated graph; the row only survives if the
     generator's defining invariant holds (exactly Nz·2^N unique edges —
     oink/rmat.cpp:66-68 prints the same counters). The fingerprint is a
-    content checksum the determinism test reruns against."""
+    content checksum the determinism test reruns against — and the oracle
+    recomputes it over DuckDB's independently generated copy of the graph."""
     edges, _rounds = _gen(spark)
     target = _NZ << _N
     stats = edges.agg(
@@ -54,7 +137,21 @@ def rmat_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rmat_degree_stats", tags=("graph", "generator"))
+@register(
+    "rmat_degree_stats",
+    tags=("graph", "generator"),
+    oracle=f"""
+        {_rmat_canon_sql()}
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS nverts
+        FROM (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT src AS v FROM canon UNION ALL SELECT dst AS v FROM canon)
+            GROUP BY v
+        )
+        GROUP BY degree
+        ORDER BY degree DESC
+    """,
+)
 def rmat_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the canonicalized R-MAT graph (examples/rmat.cpp
     degree/histo postlude :279-…) — skewed params make this the power-law
@@ -63,7 +160,40 @@ def rmat_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_stats(graph.edge_upper(edges), duplicate=2)
 
 
-@register("rmat_cc_stats", tags=("graph", "generator", "iterative"))
+def _rmat_cc_sql(k: int = _CC_STAGES_RMAT) -> str:
+    """Min-label propagation over the canonicalized generated graph,
+    unrolled (the queries/graph_iter.py cc oracle strategy)."""
+    parts = [
+        _rmat_canon_sql(),
+        ", arcs AS MATERIALIZED (SELECT src, dst FROM canon"
+        " UNION ALL SELECT dst AS src, src AS dst FROM canon)",
+        ", l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM arcs)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+                SELECT cur.v, LEAST(cur.label, COALESCE(mn.ml, cur.label)) AS label
+                FROM l{i - 1} cur LEFT JOIN (
+                    SELECT a.dst AS v, MIN(l.label) AS ml
+                    FROM arcs a JOIN l{i - 1} l ON a.src = l.v GROUP BY a.dst
+                ) mn ON cur.v = mn.v
+            )"""
+        )
+    return "\n".join(parts)
+
+
+@register(
+    "rmat_cc_stats",
+    tags=("graph", "generator", "iterative"),
+    oracle=f"""
+        {_rmat_cc_sql()}
+        SELECT csize, CAST(COUNT(*) AS BIGINT) AS ncomp
+        FROM (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+              FROM l{_CC_STAGES_RMAT} GROUP BY label)
+        GROUP BY csize
+        ORDER BY csize DESC
+    """,
+)
 def rmat_cc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference demo pipeline (examples/in.cc: rmat → edge_upper →
     cc_find → cc_stats) on the skewed generator output — the skew-handling
