@@ -57,7 +57,36 @@ def _ckpt_by_dst(df: DataFrame) -> DataFrame:
     )
 
 
-def cc_find(edges: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:
+def prepare_arcs(edges: DataFrame) -> DataFrame:
+    """Bidirected, dst-partitioned, checkpointed arc table for cc/luby.
+    Build once per (session, input) and pass to multiple calls via the
+    `arcs=` kwarg — the cluster-scale analog is the bucketed-by-dst arc
+    table derived once at rest (fixtures.derived memoizes this for the
+    driver's one-session-many-queries round)."""
+    return _ckpt_by_dst(bidirect(edges))
+
+
+def prepare_warcs(warcs: DataFrame) -> DataFrame:
+    """Dst-partitioned, checkpointed weighted arc table for sssp."""
+    return _ckpt_by_dst(warcs)
+
+
+def prepare_arcs_deg(edges: DataFrame) -> tuple[DataFrame, int]:
+    """(arc ⋈ out-degree table, vertex count) for pagerank."""
+    arcs = bidirect(edges)
+    deg = arcs.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    arcs_deg = _ckpt_by_dst(
+        arcs.join(deg, arcs.src == deg.v).select("src", "dst", "outdeg")
+    )
+    n = deg.count()
+    return arcs_deg, n
+
+
+def cc_find(
+    edges: DataFrame, max_iter: int = 50, arcs: DataFrame | None = None
+) -> tuple[DataFrame, int]:
     """Connected components by synchronous min-label propagation: every
     vertex starts as its own zone (reduce_self_zone, oink/cc_find.cpp:133-138)
     and each round adopts the minimum label in its closed neighborhood, until
@@ -67,7 +96,8 @@ def cc_find(edges: DataFrame, max_iter: int = 50) -> tuple[DataFrame, int]:
     component, matching the reference's winning-smaller-zone rule
     (reduce_zone_winner).
     """
-    arcs = _ckpt_by_dst(bidirect(edges))
+    if arcs is None:
+        arcs = prepare_arcs(edges)
     labels = (
         arcs.select(F.col("src").alias("v"))
         .distinct()
@@ -108,7 +138,12 @@ def weighted_arcs(wedges: DataFrame) -> DataFrame:
     )
 
 
-def sssp(warcs: DataFrame, source: int, max_iter: int = 50) -> tuple[DataFrame, int]:
+def sssp(
+    warcs: DataFrame,
+    source: int,
+    max_iter: int = 50,
+    arcs: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
     """Single-source shortest paths by frontier relaxation
     (oink/sssp.cpp:49-180: seed source, loop {push dist+weight to neighbors,
     keep per-vertex min, flag changed} until no distance changes).
@@ -123,8 +158,9 @@ def sssp(warcs: DataFrame, source: int, max_iter: int = 50) -> tuple[DataFrame, 
     O(frontier ⋈ arcs), not O(V ⋈ arcs). Returns ((v, du) for *reached*
     vertices, rounds).
     """
-    arcs = _ckpt_by_dst(warcs)
-    spark = warcs.sparkSession
+    if arcs is None:
+        arcs = prepare_warcs(warcs)
+    spark = arcs.sparkSession
     dist0 = spark.createDataFrame(
         [(source, 0, True)], "v bigint, du bigint, changed boolean"
     )
@@ -153,7 +189,11 @@ PR_SCALE = 10**12  # pagerank fixed-point: 1.0 rank unit == 10^12
 
 
 def pagerank(
-    edges: DataFrame, num_iter: int = 10, alpha_num: int = 17, alpha_den: int = 20
+    edges: DataFrame,
+    num_iter: int = 10,
+    alpha_num: int = 17,
+    alpha_den: int = 20,
+    arcs_deg_n: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """PageRank with damping alpha = alpha_num/alpha_den (default 0.85), run
     for a fixed number of synchronous iterations.
@@ -171,16 +211,15 @@ def pagerank(
     there are no dangling vertices. Output: (v, rank_units BIGINT,
     rank DOUBLE = units / PR_SCALE).
     """
-    arcs = bidirect(edges)
-    deg = arcs.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    arcs_deg, n = (
+        arcs_deg_n if arcs_deg_n is not None else prepare_arcs_deg(edges)
     )
-    arcs_deg = _ckpt_by_dst(
-        arcs.join(deg, arcs.src == deg.v).select("src", "dst", "outdeg")
-    )
-    n = deg.count()
     teleport = (alpha_den - alpha_num) * PR_SCALE // (alpha_den * n)
-    ranks0 = deg.select("v", F.lit(PR_SCALE // n).cast("bigint").alias("r"))
+    ranks0 = (
+        arcs_deg.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.lit(PR_SCALE // n).cast("bigint").alias("r"))
+    )
 
     def step(ranks: DataFrame) -> DataFrame:
         # the graph is bidirected, so every vertex has >=1 in-arc and the
@@ -211,7 +250,12 @@ def pagerank(
     )
 
 
-def luby_find(edges: DataFrame, seed: int = 12345, max_iter: int = 50) -> tuple[DataFrame, int]:
+def luby_find(
+    edges: DataFrame,
+    seed: int = 12345,
+    max_iter: int = 50,
+    arcs: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
     """Luby's maximal independent set (oink/luby_find.cpp:53-95).
 
     Each round over the still-undecided subgraph: a vertex whose random
@@ -229,7 +273,8 @@ def luby_find(edges: DataFrame, seed: int = 12345, max_iter: int = 50) -> tuple[
     (queries/rmat_gen._luby_oracle).
 
     Returns ((v) MIS members, rounds)."""
-    arcs = _ckpt_by_dst(bidirect(edges))
+    if arcs is None:
+        arcs = prepare_arcs(edges)
     verts = arcs.select(F.col("src").alias("v")).distinct()
     # status: 'u' undecided / 'i' in MIS / 'o' out (a MIS neighbor)
     state0 = verts.select(

@@ -44,6 +44,17 @@ def _cc_oracle_prefix(k: int = _CC_STAGES) -> str:
     return "\n".join(parts)
 
 
+def _arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized dst-partitioned bidirected arc table (shared by
+    cc_find, cc_stats, luby_find — the bucketed-at-rest analog)."""
+    return fixtures.derived(
+        spark,
+        sf_dir,
+        "arcs_by_dst",
+        lambda: graph_iter.prepare_arcs(fixtures.edges_materialized(spark, sf_dir)),
+    )
+
+
 @register(
     "cc_find",
     bench=True,
@@ -54,7 +65,9 @@ def _cc_oracle_prefix(k: int = _CC_STAGES) -> str:
     """,
 )
 def cc_find(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cc, _rounds = graph_iter.cc_find(fixtures.edges_materialized(spark, sf_dir))
+    cc, _rounds = graph_iter.cc_find(
+        fixtures.edges_materialized(spark, sf_dir), arcs=_arcs(spark, sf_dir)
+    )
     return cc
 
 
@@ -70,7 +83,9 @@ def cc_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cc, _rounds = graph_iter.cc_find(fixtures.edges_materialized(spark, sf_dir))
+    cc, _rounds = graph_iter.cc_find(
+        fixtures.edges_materialized(spark, sf_dir), arcs=_arcs(spark, sf_dir)
+    )
     return graph_iter.cc_stats(cc)
 
 
@@ -117,13 +132,17 @@ def sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive units from the materialized edge list: weighted_arcs references
     # its input twice (both directions), so an unmaterialized fixture would
     # run the whole edges derivation twice
-    e = fixtures.edges_materialized(spark, sf_dir)
-    wu = e.select(
-        "src",
-        "dst",
-        ((F.col("src") * 31 + F.col("dst")) % 97 + 1).cast("bigint").alias("wu"),
-    )
-    dist, _rounds = graph_iter.sssp(graph_iter.weighted_arcs(wu), _SSSP_SOURCE)
+    def build_warcs() -> DataFrame:
+        e = fixtures.edges_materialized(spark, sf_dir)
+        wu = e.select(
+            "src",
+            "dst",
+            ((F.col("src") * 31 + F.col("dst")) % 97 + 1).cast("bigint").alias("wu"),
+        )
+        return graph_iter.prepare_warcs(graph_iter.weighted_arcs(wu))
+
+    warcs = fixtures.derived(spark, sf_dir, "warcs_by_dst", build_warcs)
+    dist, _rounds = graph_iter.sssp(warcs, _SSSP_SOURCE, arcs=warcs)
     return dist.select("v", "du", (F.col("du") / F.lit(97.0)).alias("dist"))
 
 
@@ -172,6 +191,16 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real pagerank (the reference's command is an empty stub,
     oink/pagerank.cpp:54-56): 10 synchronous iterations, alpha=0.85, in
     integer PR_SCALE-units so both engines agree bit-for-bit."""
+    adn = fixtures.derived(
+        spark,
+        sf_dir,
+        "arcs_deg_by_dst",
+        lambda: graph_iter.prepare_arcs_deg(
+            fixtures.edges_materialized(spark, sf_dir)
+        ),
+    )
     return graph_iter.pagerank(
-        fixtures.edges_materialized(spark, sf_dir), num_iter=_PR_ITERS
+        fixtures.edges_materialized(spark, sf_dir),
+        num_iter=_PR_ITERS,
+        arcs_deg_n=adn,
     )

@@ -35,7 +35,15 @@ _SEED = 12345
 
 
 def _gen(spark: SparkSession):
-    return rmat.rmat_edges(spark, _N, _NZ, _A, _B, _C, seed=_SEED)
+    """Generated edge list, session-memoized: three registered queries share
+    the same (N, Nz, seed) graph, so generate-and-cull runs once per driver
+    round (the generator is sf-independent — keyed under a fixed tag)."""
+    return fixtures.derived(
+        spark,
+        "-",
+        "rmat_edges",
+        lambda: rmat.rmat_edges(spark, _N, _NZ, _A, _B, _C, seed=_SEED),
+    )
 
 
 _GEN_STAGES = 8  # measured: 5 generate-and-cull rounds at (N=12, Nz=4); margin 3
@@ -259,7 +267,13 @@ def luby_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic given the seed (portable md5-derived priorities — the
     oracle replays identical rounds in SQL); independence + maximality are
     additionally asserted via anti-joins in tests/test_graph_algorithms.py."""
+    arcs = fixtures.derived(
+        spark,
+        sf_dir,
+        "arcs_by_dst",
+        lambda: graph_iter.prepare_arcs(fixtures.edges_materialized(spark, sf_dir)),
+    )
     mis, _rounds = graph_iter.luby_find(
-        fixtures.edges_materialized(spark, sf_dir), seed=_SEED
+        fixtures.edges_materialized(spark, sf_dir), seed=_SEED, arcs=arcs
     )
     return mis
