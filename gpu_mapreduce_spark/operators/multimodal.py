@@ -127,6 +127,28 @@ def decode_fake(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_stub(media: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Deterministic fake resize at scale num/den: metadata dims scaled
+    (floor), thumbnail = the leading ceil(nbytes·num/den) content bytes (a
+    byte-crop — a REAL resample needs codecs; see decode_real for the
+    gating pattern). Pure codegen (substring on the binary column stays
+    JVM-side; no Python); thumb_md5 lets a SQL oracle verify the produced
+    bytes exactly. Output: (media_id, kind, width, height, new_width,
+    new_height, nbytes, thumb_bytes, thumb_md5)."""
+    tlen = F.ceil(F.length("content") * num / den).cast("int")
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.floor(F.col("meta.width") * num / den).cast("int").alias("new_width"),
+        F.floor(F.col("meta.height") * num / den).cast("int").alias("new_height"),
+        F.length("content").alias("nbytes"),
+        tlen.alias("thumb_bytes"),
+        F.md5(F.col("content").substr(F.lit(1), tlen)).alias("thumb_md5"),
+    )
+
+
 def decode_real(media: DataFrame) -> DataFrame:
     """Real codec decode — requires image/audio libraries this container
     doesn't ship. The call signature and schema match decode_fake so a

@@ -70,6 +70,28 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(_media(spark, sf_dir))
 
 
+@register(
+    "media_resize",
+    tags=("llm", "multimodal"),
+    oracle=f"""
+        WITH {_MEDIA_SQL}
+        SELECT media_id, kind, width, height,
+               CAST(floor(width * 1 / 2) AS INT) AS new_width,
+               CAST(floor(height * 1 / 2) AS INT) AS new_height,
+               CAST(length(text) AS INT) AS nbytes,
+               CAST(ceil(length(text) * 1 / 2) AS INT) AS thumb_bytes,
+               md5(substring(text, 1, CAST(ceil(length(text) * 1 / 2) AS INT)))
+                   AS thumb_md5
+        FROM media
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake 1/2-scale resize (meta dims floored, thumbnail = leading byte
+    crop) — the brief's resize slot with the decode-real gating pattern;
+    thumb_md5 verified byte-for-byte by the oracle."""
+    return mm.resize_stub(_media(spark, sf_dir), num=1, den=2)
+
+
 @register("media_decode_features", tags=("llm", "multimodal"))
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-decoder byte statistics (rows-only: real decode is stubbed —
