@@ -8,10 +8,11 @@ Four paths:
                 baseline and the right plan whenever |queries| is small:
                 one pass over the corpus, zero shuffles before the top-k.
   lsh_topk      random-hyperplane LSH: 16-bit sign signatures from
-                xxhash64-derived ±1 planes, banded 8x2; candidates share a
-                band with the query, then exact cosine re-rank. The scale
-                path: the corpus is bucketed once, each query probes its
-                buckets instead of every row.
+                portable ±1 planes (plane_weights: md5-derived constants
+                shared with the DuckDB oracle replay), banded 8x2;
+                candidates share a band with the query, then exact cosine
+                re-rank. The scale path: the corpus is bucketed once, each
+                query probes its buckets instead of every row.
   ivf_topk      inverted-file (IVF-flat): the corpus is partitioned once
                 into centroid cells; each query exhaustively re-ranks only
                 its `nprobe` nearest cells. The other classic ANN layout —
@@ -31,6 +32,8 @@ tie-breaks, so last-ulp float noise cannot reorder results.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -79,39 +82,49 @@ def cosine_topk(
 
 _PLANES = 16
 _BANDS = 8  # 8 bands x 2 bits
+PER_BAND = _PLANES // _BANDS
+
+
+def plane_weights(seed: int, planes: int = _PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """±1.0 hyperplane weights for (plane p, dim d), derived from the low
+    bit of md5(f"{seed}|{p}|{d}") — data-independent CONSTANTS computed
+    once in Python and embedded verbatim as literals in BOTH the Spark
+    expression and the DuckDB oracle replay, so the two engines share the
+    exact same hyperplanes with no cross-engine hash dependency. (±1.0
+    multiplies are exact in IEEE754; the projection folds in index order in
+    both engines, so even the sign of a near-zero projection agrees —
+    guarded by tests/test_portable_hash.py's fold-parity checks.)"""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[0], 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
 
 
 def _sig_bands(emb: Column, seed: int) -> list[Column]:
-    """Random-hyperplane signature, banded: plane p has ±1 weights derived
-    from xxhash64(seed, p, dim); bit_p = (Σ_d emb[d]·w[p,d] >= 0). Returns
-    one packed value per band (2 bits each)."""
+    """Random-hyperplane signature, banded: plane p has the ±1
+    plane_weights(seed) row; bit_p = (Σ_d emb[d]·w[p,d] >= 0). Returns one
+    packed value per band (PER_BAND bits each)."""
+    weights = plane_weights(seed)
     bits = []
     for p in range(_PLANES):
         proj = F.aggregate(
             F.zip_with(
                 emb,
-                F.array(
-                    *[
-                        (
-                            F.shiftrightunsigned(
-                                F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)), 1
-                            ).bitwiseAND(F.lit(1))
-                            * 2
-                            - 1
-                        ).cast("double")
-                        for d in range(EMB_DIM)
-                    ]
-                ),
+                F.array(*[F.lit(w) for w in weights[p]]),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         bits.append((proj >= 0).cast("int"))
-    per_band = _PLANES // _BANDS
     return [
         sum(
-            (bits[b * per_band + i] * (1 << i) for i in range(per_band)),
+            (bits[b * PER_BAND + i] * (1 << i) for i in range(PER_BAND)),
             F.lit(0),
         ).alias(f"band{b}")
         for b in range(_BANDS)
@@ -119,7 +132,7 @@ def _sig_bands(emb: Column, seed: int) -> list[Column]:
 
 
 def lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 10, seed: int = 5
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, seed: int = 52
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing >= 1 LSH band
     with the query, re-ranked by exact cosine. Output shape matches
@@ -193,19 +206,25 @@ def ivf_topk(
     """Approximate top-k via an inverted file (IVF-flat).
 
     Build: centroids = `n_centroids` hash-sampled corpus vectors
-    (deterministic: lowest xxhash64(seed, vec_id) ranks — at 100 TB this
-    sampling pass is a TABLESAMPLE + optional k-means refinement, same
-    layout); every corpus vector is assigned to its nearest centroid (one
-    pass against the broadcast centroid set — the cell assignment is
-    computed ONCE and persists, amortized over all queries).
+    (deterministic: lowest portable-hash(seed|vec_id) ranks, the same
+    md5-hex-slice hash DuckDB can replay — at 100 TB this sampling pass is
+    a TABLESAMPLE + optional k-means refinement, same layout); every corpus
+    vector is assigned to its nearest centroid (one pass against the
+    broadcast centroid set — the cell assignment is computed ONCE and
+    persists, amortized over all queries).
     Probe: each query re-ranks only its `nprobe` nearest cells by exact
     quantized cosine. Probe cost ∝ nprobe/n_centroids of the corpus instead
     of all of it; recall vs cosine_topk asserted in tests.
 
     Output shape matches cosine_topk: (qid, vec_id, sim_e6)."""
-    w_pick = Window.orderBy(
-        F.xxhash64(F.lit(seed), F.col("vec_id")), F.col("vec_id")
-    )
+    pick_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("vec_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_pick = Window.orderBy(pick_hash, F.col("vec_id"))
     centroids = (
         embeddings.withColumn("_rn", F.row_number().over(w_pick))
         .filter(F.col("_rn") <= n_centroids)
@@ -274,7 +293,7 @@ def dup_pairs(embeddings: DataFrame, threshold_e6: int = 400_000) -> DataFrame:
 
 
 def dup_pairs_lsh(
-    embeddings: DataFrame, threshold_e6: int = 400_000, seed: int = 5
+    embeddings: DataFrame, threshold_e6: int = 400_000, seed: int = 52
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH banding:
     candidates = pairs sharing >= 1 of the 8 signature bands (equi-join on

@@ -92,12 +92,37 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_stub(_media(spark, sf_dir), num=1, den=2)
 
 
-@register("media_decode_features", tags=("llm", "multimodal"))
+@register(
+    "media_decode_features",
+    tags=("llm", "multimodal"),
+    oracle=f"""
+        WITH {_MEDIA_SQL},
+        bytes AS (
+            SELECT media_id, kind,
+                   list_transform(generate_series(1, length(text)),
+                                  i -> ascii(substring(text, i, 1))) AS bs
+            FROM media
+        )
+        SELECT media_id, kind,
+               CASE WHEN len(bs) > 0
+                    THEN CAST(list_sum(bs) AS DOUBLE) / len(bs)
+                    ELSE 0.0 END AS mean_byte,
+               CAST(len(bs) AS INT) AS n_bytes,
+               array_to_string(
+                   list_transform(generate_series(0, 15),
+                       b -> CAST(len(list_filter(bs, x -> x // 16 = b)) AS INT)),
+                   ',') AS hist16
+        FROM bytes
+    """,
+)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake-decoder byte statistics (rows-only: real decode is stubbed —
-    operators/multimodal.decode_real; the fake path's arithmetic is
-    re-verified in tests/test_multimodal.py). hist16 emitted as a canonical
-    string for hash-stable output."""
+    """Fake-decoder byte statistics via Arrow-batched mapInPandas. The
+    content bytes are ASCII (octet_length == length for every doc, all sf),
+    so the DuckDB oracle replays the byte loop with ascii() per char:
+    mean_byte is an exact integer sum over one division (bit-identical
+    doubles), hist16 a 16-bucket high-nibble histogram emitted as a
+    canonical comma string for hash-stable output. Real codec decode stays
+    stubbed (operators/multimodal.decode_real)."""
     out = mm.decode_fake(_media(spark, sf_dir))
     return out.select(
         "media_id",

@@ -1,9 +1,13 @@
 """Similarity-search queries over the `embeddings` base table.
 
 ann_bruteforce_topk is the oracle-checked correctness baseline (the DuckDB
-oracle is the same brute-force scan); ann_lsh_topk registers rows-only
-(xxhash64-derived hyperplanes) with recall asserted in
-tests/test_similarity.py."""
+oracle is the same brute-force scan). The approximate paths are
+oracle-checked by REPLAY: the hyperplane weights and the IVF sampling hash
+are portable constants (operators/similarity.plane_weights, md5-hex-slice
+hash), so the DuckDB oracle runs the same algorithm — band signatures +
+band join for ann_lsh_topk, centroid pick + cell assignment + probe for
+ann_ivf_topk — and must reproduce the output exactly. Recall vs the exact
+baseline is separately asserted in tests/test_similarity.py."""
 
 from __future__ import annotations
 
@@ -65,24 +69,137 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, _queries(spark, sf_dir), k=TOP_K)
 
 
-@register("ann_lsh_topk", tags=("llm", "similarity"))
+def _qsim_sql(a: str, b: str) -> str:
+    """Quantized cosine in DuckDB SQL, matching operators.similarity's
+    fold-order exactly (index-order sums; proven bit-identical by the
+    existing brute-force oracles)."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {similarity.EMB_DIM}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"CAST(FLOOR(1e6 * ({dot} / ({na} * {nb}))) AS BIGINT)"
+
+
+def _band_sql(col: str, seed: int) -> str:
+    """SQL select-list fragment computing the 8 packed band values of
+    operators.similarity._sig_bands(col, seed) — same literal ±1.0 plane
+    weights, same sign-bit packing."""
+    weights = similarity.plane_weights(seed)
+    projs = []
+    for p in range(len(weights)):
+        wlist = "[" + ", ".join(repr(w) for w in weights[p]) + "]"
+        projs.append(
+            f"list_sum(list_transform(generate_series(1, {similarity.EMB_DIM}),"
+            f" i -> CAST({col}[i] AS DOUBLE) * ({wlist})[i]))"
+        )
+    per = similarity.PER_BAND
+    bands = []
+    for b in range(len(weights) // per):
+        bits = " + ".join(
+            f"(CASE WHEN {projs[b * per + i]} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(per)
+        )
+        bands.append(f"({bits}) AS band{b}")
+    return ", ".join(bands)
+
+
+_LSH_SEED = 52
+_BAND_MATCH = " OR ".join(f"esig.band{b} = qsig.band{b}" for b in range(8))
+
+
+@register(
+    "ann_lsh_topk",
+    tags=("llm", "similarity"),
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+        esig AS (SELECT vec_id, embedding, {_band_sql("embedding", _LSH_SEED)}
+                 FROM embeddings),
+        qsig AS (SELECT qid, qe, {_band_sql("qe", _LSH_SEED)} FROM q),
+        cand AS (
+            SELECT qsig.qid, qsig.qe, esig.vec_id, esig.embedding
+            FROM esig, qsig
+            WHERE esig.vec_id <> qsig.qid AND ({_BAND_MATCH})
+        )
+        SELECT qid, vec_id, sim_e6 FROM (
+            SELECT qid, vec_id, {_qsim_sql("embedding", "qe")} AS sim_e6
+            FROM cand
+        )
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, vec_id)
+                <= {TOP_K}
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k (the scale path: corpus
-    bucketed once, queries probe their buckets). Rows-only; recall@k vs the
-    brute-force baseline asserted in tests."""
+    bucketed once, queries probe their buckets). Oracle = full DuckDB
+    replay (shared literal hyperplanes, same band join + exact re-rank);
+    recall@k vs the brute-force baseline asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _queries(spark, sf_dir), k=TOP_K)
 
 
-@register("ann_ivf_topk", tags=("llm", "similarity"))
+_IVF_SEED = 11
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_topk",
+    tags=("llm", "similarity"),
+    oracle=f"""
+        WITH ranked AS (
+            SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY
+                       ('0x' || substr(md5('{_IVF_SEED}' || '|' ||
+                                           CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                       vec_id) AS cid
+            FROM embeddings
+        ),
+        centroids AS (SELECT cid, embedding AS ce FROM ranked
+                      WHERE cid <= {_IVF_CENTROIDS}),
+        assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_qsim_sql("e.embedding", "c.ce")} DESC, c.cid)
+                           AS rn
+                FROM embeddings e, centroids c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < {N_QUERIES}),
+        probes AS (
+            SELECT qid, qe, cid FROM (
+                SELECT q.qid, q.qe, c.cid,
+                       row_number() OVER (PARTITION BY q.qid
+                           ORDER BY {_qsim_sql("q.qe", "c.ce")} DESC, c.cid) AS rn
+                FROM q, centroids c
+            ) WHERE rn <= {_IVF_NPROBE}
+        )
+        SELECT qid, vec_id, sim_e6 FROM (
+            SELECT p.qid, a.vec_id, {_qsim_sql("a.embedding", "p.qe")} AS sim_e6
+            FROM assigned a JOIN probes p USING (cid)
+            WHERE a.vec_id <> p.qid
+        )
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, vec_id)
+                <= {TOP_K}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k: hash-sampled centroid cells assigned
     once, each query exhaustively re-ranks only its nprobe nearest cells.
-    Rows-only (centroid choice is xxhash64-seeded); recall@k vs the
-    brute-force baseline asserted in tests."""
+    Oracle = full DuckDB replay (portable md5-hex-slice sampling hash, same
+    assignment and probe ranking); recall@k vs the brute-force baseline
+    asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, _queries(spark, sf_dir), k=TOP_K, n_centroids=16, nprobe=4
+        emb,
+        _queries(spark, sf_dir),
+        k=TOP_K,
+        n_centroids=_IVF_CENTROIDS,
+        nprobe=_IVF_NPROBE,
     )
 
 
