@@ -73,6 +73,7 @@ def load_all() -> dict[str, QueryDef]:
             textstats,
             multimodal,
             streaming_batch,
+            analytics,
         )
 
         _loaded = True
