@@ -120,10 +120,10 @@ def cc_find(
             (F.col("ml") < F.col("label")).alias("changed"),
         )
 
-    def changed(_prev: DataFrame, cur: DataFrame) -> int:
-        return cur.filter("changed").count()
+    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
+        return cur.filter("changed").isEmpty()
 
-    fix, rounds = fixpoint(labels, step, changed, max_iter)
+    fix, rounds = fixpoint(labels, step, converged, max_iter)
     return fix.select("v", F.col("label").alias("zone")), rounds
 
 
@@ -178,10 +178,10 @@ def sssp(
             F.coalesce(F.col("nd") < state.du, state.du.isNull()).alias("changed"),
         )
 
-    def num_changed(_prev: DataFrame, cur: DataFrame) -> int:
-        return cur.filter("changed").count()
+    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
+        return cur.filter("changed").isEmpty()
 
-    fix, rounds = fixpoint(dist0, step, num_changed, max_iter)
+    fix, rounds = fixpoint(dist0, step, converged, max_iter)
     return fix.select("v", "du"), rounds
 
 
@@ -332,10 +332,10 @@ def luby_find(
             )
         )
 
-    def num_changed(_prev: DataFrame, cur: DataFrame) -> int:
-        return cur.filter(F.col("status") == "u").count()
+    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
+        return cur.filter(F.col("status") == "u").isEmpty()
 
-    fix, rounds = fixpoint(state0, step, num_changed, max_iter)
+    fix, rounds = fixpoint(state0, step, converged, max_iter)
     return fix.filter(F.col("status") == "i").select("v"), rounds
 
 

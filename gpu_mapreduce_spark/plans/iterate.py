@@ -55,17 +55,24 @@ def unpersist_checkpoint(df: DataFrame) -> None:
 def fixpoint(
     state: DataFrame,
     step: Callable[[DataFrame], DataFrame],
-    num_changed: Callable[[DataFrame, DataFrame], int],
+    converged: Callable[[DataFrame, DataFrame], bool],
     max_iter: int = 50,
 ) -> tuple[DataFrame, int]:
-    """Iterate `state = step(state)` until `num_changed(prev, cur) == 0` or
+    """Iterate `state = step(state)` until `converged(prev, cur)` or
     max_iter. Returns (fixpoint DataFrame — checkpointed, iterations run).
     Superseded per-round snapshots are unpersisted as soon as the convergence
-    check has consumed them; only the returned fixpoint stays materialized."""
+    check has consumed them; only the returned fixpoint stays materialized.
+
+    `converged` should be an existence probe (`df.filter(...).isEmpty()`),
+    not a count: isEmpty stops at the first non-empty partition of the
+    already-checkpointed state, so every NON-final round — the common case —
+    pays a near-zero check, while a count scans all partitions every round
+    (the reference pays a full MPI_Allreduce per round instead,
+    oink/cc_find.cpp:64-103)."""
     cur = state.localCheckpoint(eager=True)
     for i in range(1, max_iter + 1):
         nxt = step(cur).localCheckpoint(eager=True)
-        done = num_changed(cur, nxt) == 0
+        done = converged(cur, nxt)
         unpersist_checkpoint(cur)
         if done:
             return nxt, i
