@@ -39,11 +39,22 @@ def main() -> None:
     # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
     spark.range(1000).count()
 
+    # Per-query fault isolation: one raising query must never zero the whole
+    # benchmark (round-2 postmortem: a single AnalysisException aborted the
+    # run and the driver recorded no numbers for the 17 healthy queries).
+    # Failures are recorded as {"err": ...} in a separate map and excluded
+    # from the headline total; the JSON line is always emitted.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(queries.items()):
-        t_cold = time.perf_counter()
-        len(q.fn(spark, sf_dir).collect())  # warm-up: first-touch + JIT
-        cold = time.perf_counter() - t_cold
+        try:
+            t_cold = time.perf_counter()
+            len(q.fn(spark, sf_dir).collect())  # warm-up: first-touch + JIT
+            cold = time.perf_counter() - t_cold
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         # Pay GC debt outside the timed region: drop Python references first
         # (live Py4J proxies pin dead JVM RDDs/broadcasts and block the
         # ContextCleaner), then force a JVM collection so earlier queries'
@@ -59,13 +70,18 @@ def main() -> None:
         # one-sided noise; it cannot flatter a real plan regression, which
         # slows every run.
         samples = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            n = len(df.collect())  # full materialization: no expression pruning
-            samples.append(time.perf_counter() - t0)
-            gc.collect()
-            spark._jvm.System.gc()
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                n = len(df.collect())  # full materialization: no pruning
+                samples.append(time.perf_counter() - t0)
+                gc.collect()
+                spark._jvm.System.gc()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         times[name] = round(min(samples), 3)
         print(
             f"# {name}: {times[name]:.3f}s (cold {cold:.3f}s,"
@@ -74,18 +90,32 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — catastrophic (session/registry)
+        # still emit the one JSON line the driver parses
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "fatal": f"{type(exc).__name__}: {exc}"[:500],
+                }
+            )
+        )
+        raise SystemExit(1)

@@ -257,58 +257,66 @@ SIMHASH_BITS = 64
 _SIMHASH_BANDS = 4  # 4 x 16-bit bands: complete for hamming distance <= 3
 
 
-def _token_bits(t: Column, seed: int) -> Column:
-    """64 hash bits for one token, from md5(seed|token): bits 0..31 from the
-    integer value of hex chars 1-15, bits 32..63 from chars 16-30. md5 (not
-    xxhash64) so the oracle can reproduce the signature — DuckDB parses the
-    same hex slices with ('0x'||substr(md5(s),1,15))::BIGINT and gets
-    identical 60-bit values (only the low 32 of each are used). The repeated
-    md5/conv subtrees collapse under codegen subexpression elimination."""
-    m = F.md5(F.concat_ws("|", F.lit(str(seed)), t))
-    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
-    return F.array(
-        *[
-            F.shiftrightunsigned(h1 if b < 32 else h2, b if b < 32 else b - 32)
-            .bitwiseAND(F.lit(1))
-            .cast("int")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-
-
 def simhash_sigs(corpus: DataFrame, seed: int = 7, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over a portable
-    md5-derived hash of each distinct token. Pure array-fold codegen (no
-    Python, no explode): (doc_id, sig BIGINT, b0..b3 16-bit band values).
+    md5-derived hash of each distinct token. Two packed 60-bit longs per
+    token (md5 hex chars 1-15 and 16-30 via conv; md5, not xxhash64, so
+    DuckDB reproduces the identical signature with
+    ('0x'||substr(md5(s),1,15))::BIGINT — only the low 32 of each are used),
+    then ONE partial-aggregated groupBy with 64 codegen bit-count sums.
+    Output: (doc_id, sig BIGINT, b0..b3 16-bit band values).
+
+    Physical shape (third iteration): explode + hash + sum beats the
+    previous shuffle-free in-row array fold by ~8x cold. The fold built a
+    64-element bit array per token inside F.aggregate — 64 shift exprs each
+    duplicating the md5 subtree, a Catalyst tree so large that ANALYSIS +
+    CODEGEN alone took ~14 s, and higher-order-function lambdas evaluate
+    interpreted per element anyway. Here the md5 runs once per token and the
+    64 sums are plain whole-stage-codegen aggregates; the shuffle this
+    reintroduces carries only the partial-aggregate rows — at most
+    65 longs x touched-partitions per doc, independent of token count — the
+    cheapest kind of shuffle there is at 100 TB.
 
     Bit positions are Python-loop-unrolled (shiftleft/shiftrightunsigned
     take literal shift amounts only)."""
     toks = F.array_distinct(tokens(F.col(text_col)))
-    counters = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, t: F.zip_with(
-            acc,
-            _token_bits(t, seed),
-            lambda c, bit: c + bit * 2 - 1,  # +1 for set bit, -1 for clear
-        ),
+    tok = corpus.select("doc_id", F.explode(toks).alias("t"))
+    m = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("t")))
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 16, 15), 16, 10).cast("long").alias("h2"),
     )
-    bits = F.transform(counters, lambda c: (c > 0).cast("long"))
-    out = corpus.select("doc_id", bits.alias("bits"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for b in range(SIMHASH_BITS):
+        src, sh = ("h1", b) if b < 32 else ("h2", b - 32)
+        aggs.append(
+            F.sum(
+                F.shiftrightunsigned(F.col(src), sh).bitwiseAND(F.lit(1))
+            ).alias(f"s{b}")
+        )
+    votes = th.groupBy("doc_id").agg(*aggs)
 
     def _pack(offset: int, width: int) -> Column:
+        # bit b set iff the +1/-1 majority vote is positive: 2*sum_b > n
         packed = F.lit(0).cast("long")
         for p in range(width):
-            packed = packed.bitwiseOR(
-                F.shiftleft(F.element_at("bits", offset + p + 1), p)
-            )
+            bit = (F.col(f"s{offset + p}") * 2 > F.col("n")).cast("long")
+            packed = packed.bitwiseOR(F.shiftleft(bit, p))
         return packed
 
-    band_cols = [
-        _pack(bi * 16, 16).alias(f"b{bi}") for bi in range(_SIMHASH_BANDS)
-    ]
-    return out.select("doc_id", _pack(0, SIMHASH_BITS).alias("sig"), *band_cols)
+    sigs = votes.select(
+        "doc_id",
+        _pack(0, SIMHASH_BITS).alias("sig"),
+        *[_pack(bi * 16, 16).alias(f"b{bi}") for bi in range(_SIMHASH_BANDS)],
+    )
+    # token-less docs emit no exploded rows: restore them with sig = 0
+    zero = F.lit(0).cast("long")
+    return corpus.select("doc_id").join(sigs, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("sig", zero).alias("sig"),
+        *[F.coalesce(f"b{bi}", zero).alias(f"b{bi}") for bi in range(_SIMHASH_BANDS)],
+    )
 
 
 def simhash_pairs(

@@ -53,7 +53,9 @@ def asof_join(
         F.col(ts).alias("_ts"),
         F.lit(l_side).alias("_side"),
         F.struct(*left.columns).alias("_lrow"),
-        F.lit(None).cast("timestamp").alias("_rts"),
+        # type taken from the left's ts column (LTZ or NTZ both work) — a
+        # hard-coded cast would poison the union when the inputs are NTZ
+        F.lit(None).cast(left.schema[ts].dataType).alias("_rts"),
         *[F.lit(None).cast(r.schema[c].dataType).alias(f"_r_{c}") for c in payload],
     )
     rt = r.select(

@@ -52,9 +52,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
-        # rejects; read as BIGINT nanos (sources/tables.py converts to the
-        # same microsecond timestamps DuckDB truncates to)
+        # defensive: if a dataset ships TIMESTAMP(NANOS) parquet (which the
+        # vectorized reader otherwise rejects) surface it as BIGINT nanos;
+        # sources/tables.py normalizes that — like the current
+        # timestamp-without-timezone layout — to session-UTC TIMESTAMP
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

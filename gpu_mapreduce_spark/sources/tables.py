@@ -33,21 +33,30 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one base table as a DataFrame (lazy; scan-level pruning applies).
 
-    events.ts arrives as BIGINT nanoseconds (spark.sql.legacy.parquet
-    .nanosAsLong — the file declares TIMESTAMP(NANOS), which Spark's reader
-    otherwise rejects); it is converted here to microsecond timestamps, the
-    same truncation DuckDB applies reading the file."""
+    Timestamp normalization: whatever the file's physical type — timestamp
+    without timezone (Spark TIMESTAMP_NTZ, the driver's current layout),
+    timestamp with timezone, or legacy BIGINT nanoseconds — every timestamp
+    column is emitted as session-UTC TIMESTAMP. DuckDB reads the same files
+    as naive timestamps and treats them as UTC in epoch_ms(), so pinning the
+    session timezone to UTC here makes unix_millis() agree with the oracle
+    byte-for-byte. Done once at the source so no downstream operator ever
+    sees a mixed NTZ/LTZ pair (a union or comparison of the two is an
+    AnalysisException)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    if name == "events":
-        # set at read time, not only in our session factory, so the queries
-        # also work under a driver-provided bare SparkSession
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # set at read time, not only in our session factory, so the queries also
+    # agree with the UTC-naive oracle under a driver-provided bare session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif col == "ts" and dtype == "bigint" and name == "events":
+            # legacy layout: TIMESTAMP(NANOS) surfaced as nanos via
+            # spark.sql.legacy.parquet.nanosAsLong
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

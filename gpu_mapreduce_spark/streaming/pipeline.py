@@ -32,22 +32,23 @@ from gpu_mapreduce_spark.functions.numeric import dsum
 SESSION_GAP_MIN = 30
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string,"
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
     " value double, props string"
 )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a stream (file source; schema must be declared —
-    streaming sources can't infer). ts arrives as BIGINT nanos (the file is
-    TIMESTAMP(NANOS) — see sources/tables.py) and is converted to the same
-    microsecond timestamps the batch reader produces."""
-    raw = (
+    streaming sources can't infer). The file stores timestamp-without-
+    timezone micros; declaring `ts timestamp` reads the raw micros as
+    session-UTC TIMESTAMP — the identical values the batch reader
+    (sources/tables.py) produces, verified by tests/test_streaming.py."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def windowed_counts(events: DataFrame, with_watermark: bool = False) -> DataFrame:
