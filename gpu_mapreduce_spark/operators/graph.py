@@ -258,3 +258,20 @@ def neigh_tri(edges: DataFrame, triangles: DataFrame) -> DataFrame:
             F.coalesce("tri_edges", F.array().cast("array<string>")).alias("tri_edges"),
         )
     )
+
+
+def neigh_tri_sink(nt: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """The reference's neigh_tri OUTPUT contract (oink/neigh_tri.cpp:39-60):
+    one file per vertex under a directory the command names. Spark form:
+    Hive-style partitioned write — `write.partitionBy("v")` lays out
+    `path/v=<id>/part-*`, one directory (>= 1 file) per vertex, and the
+    layout is queryable: `spark.read.parquet(path).filter(v == k)` touches
+    exactly one directory (partition pruning), which is strictly better
+    than the reference's open-by-filename.
+
+    Scale note: per-vertex directories on a power-law graph mean |V|
+    directories — fine for the reference's per-vertex report use case on
+    selected vertices, but shard the key first (partitionBy on v % 4096,
+    or bucketBy) before pointing this at a full 100-TB graph; millions of
+    tiny directories are a filesystem problem, not a Spark one."""
+    nt.write.mode("overwrite").partitionBy("v").format(fmt).save(path)

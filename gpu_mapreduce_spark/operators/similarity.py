@@ -224,11 +224,22 @@ def ivf_topk(
         16,
         10,
     ).cast("long")
-    w_pick = Window.orderBy(pick_hash, F.col("vec_id"))
+    # centroid selection: lowest n_centroids rows by (pick_hash, vec_id).
+    # orderBy().limit(n) compiles to TakeOrderedAndProject — per-partition
+    # top-n then a driver merge of n rows/partition — so the corpus is never
+    # funneled through one task (a global Window.orderBy would be exactly
+    # that single-task sort). The row_number that assigns cids runs AFTER
+    # the limit, over n_centroids rows only.
+    picked = (
+        embeddings.select("vec_id", "embedding", pick_hash.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(n_centroids)
+    )
     centroids = (
-        embeddings.withColumn("_rn", F.row_number().over(w_pick))
-        .filter(F.col("_rn") <= n_centroids)
-        .select(F.col("_rn").alias("cid"), F.col("embedding").alias("ce"))
+        picked.withColumn(
+            "cid", F.row_number().over(Window.orderBy("_h", "vec_id"))
+        )
+        .select("cid", F.col("embedding").alias("ce"))
     )
     # cell assignment: nearest centroid per corpus vector (ties -> lower cid)
     assigned = (

@@ -356,6 +356,86 @@ def binary_file_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SEP = ";;"
+_CHUNK_PART_BYTES = 16 * 1024  # ~10 splits over the sf0.01 fixture file
+# repo-rooted scratch dir (.tmp/ is gitignored); the oracle must name the
+# same absolute path, so it is resolved once at import time
+_CHUNK_SCRATCH = __import__("pathlib").Path(__file__).resolve().parents[2] / ".tmp"
+
+
+def _chunk_file(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic multi-record text file derived from the documents
+    table: every document's text joined with the ';;' separator. Built once
+    per sf dir (atomic rename), then treated as pre-existing ingest input —
+    the reference's chunked files exist on disk before map() runs too."""
+    import os
+
+    out = _CHUNK_SCRATCH / sf_dir.strip("/").replace("/", "_") / "chunks.txt"
+    if not out.exists():
+        from gpu_mapreduce_spark.sources.tables import table
+
+        rows = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(".txt.tmp")
+        tmp.write_text(_CHUNK_SEP.join(r.text for r in rows))
+        os.replace(tmp, out)
+    return str(out)
+
+
+@register(
+    "file_chunk_wordfreq",
+    tags=("core", "sources", "text"),
+    oracle=rf"""
+        WITH recs AS (
+            SELECT unnest(string_split(content, '{_CHUNK_SEP}')) AS line
+            FROM read_text('{_CHUNK_SCRATCH}/' ||
+                           replace(trim('{{SF_DIR}}', '/'), '/', '_') ||
+                           '/chunks.txt')
+        ),
+        w AS (
+            SELECT unnest(regexp_split_to_array(line, '\s+')) AS word FROM recs
+        )
+        SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word
+    """,
+)
+def file_chunk_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sep-safe file-chunk map() variant
+    (src/mapreduce.cpp:1232-1558: split a big file into ~equal chunks, each
+    extended past its end to the next separator so no record is torn),
+    driven end-to-end: a single multi-record file with a MULTI-CHAR
+    separator (';;' — the sepstr variant, :1269) is read through
+    sources/text_corpus.read_lines with maxPartitionBytes forced down so the
+    scan genuinely splits into ~10 chunks, then word-frequency-counted.
+    Spark's text source + Hadoop LineRecordReader implement the same
+    boundary rule as the reference's map_file_wrapper fix-up (:1486-1558);
+    records landing across chunk boundaries reassemble exactly — the oracle
+    reads the whole file unsplit, so any torn record hash-mismatches."""
+    from gpu_mapreduce_spark.sources.text_corpus import read_lines
+
+    path = _chunk_file(spark, sf_dir)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(_CHUNK_PART_BYTES))
+    try:
+        # eager checkpoint: the chunked scan executes NOW, under the small
+        # split size; the conf is restored before any other query plans
+        lines = read_lines(spark, path, sep=_CHUNK_SEP).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    return (
+        lines.select(F.explode(F.split("line", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "gather_all",
     tags=("core",),

@@ -1,11 +1,15 @@
 """Dedup queries over the `corpus` fixture (documents + injected exact and
 near duplicates — sources/fixtures.py).
 
-dedup_exact and dedup_jaccard_pairs are oracle-checked (the Jaccard oracle
-is a DuckDB all-pairs scan — fine at oracle scale, and exactly the quadratic
-plan the Spark operators exist to avoid). The LSH/SimHash variants hash with
-engine-internal xxhash64, so they register rows-only; their soundness
-(output ⊆ exact pairs) and recall are asserted in tests/test_dedup.py."""
+ALL four tiers are fully oracle-checked. dedup_exact and
+dedup_jaccard_pairs against direct SQL; dedup_minhash_lsh against the exact
+all-pairs Jaccard set (valid because every LSH candidate is verified with
+exact Jaccard and banded recall at J>=0.8 is ~1-1e-7 — see its docstring);
+dedup_simhash against a DuckDB replay of the identical md5-derived
+signature. The oracles are deliberately the quadratic all-pairs plans the
+Spark operators exist to avoid — fine at oracle scale. Soundness
+(output ⊆ exact pairs) and recall are additionally asserted in
+tests/test_dedup.py."""
 
 from __future__ import annotations
 

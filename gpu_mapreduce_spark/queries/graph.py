@@ -223,3 +223,61 @@ def neigh_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("neighbors"),
         F.array_join("tri_edges", " ").alias("tri_edges"),
     )
+
+
+@register(
+    "neigh_tri_files",
+    tags=("graph", "sources"),
+    oracle=f"""
+        {_E},
+        tri AS ({_TRI_SQL}),
+        tv AS (
+            SELECT a AS v, b || '-' || c AS te FROM tri
+            UNION ALL SELECT b AS v, a || '-' || c AS te FROM tri
+            UNION ALL SELECT c AS v, a || '-' || b AS te FROM tri
+        ),
+        tl AS (SELECT v, array_to_string(list_sort(list(te)), ' ') AS tri_edges
+               FROM tv GROUP BY v),
+        adj AS (
+            SELECT v, array_to_string(list_sort(list(dst)), ' ') AS neighbors
+            FROM (SELECT src AS v, dst FROM edges
+                  UNION ALL SELECT dst AS v, src AS dst FROM edges)
+            GROUP BY v
+        )
+        SELECT adj.v, adj.neighbors, COALESCE(tl.tri_edges, '') AS tri_edges
+        FROM adj LEFT JOIN tl ON adj.v = tl.v
+        WHERE adj.v < 25
+    """,
+)
+def neigh_tri_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neigh_tri's per-vertex FILE output contract (oink/neigh_tri.cpp:39-60
+    writes one `dirname/V` file per vertex), demonstrated end-to-end:
+    the clique vertices' reports are written through
+    graph.neigh_tri_sink (write.partitionBy("v") — one Hive directory per
+    vertex) and read BACK from the partitioned layout; the oracle checks
+    the read-back content, so a vertex lost or garbled by the sink
+    hash-mismatches. Restricted to the 25-clique so the driver-run query
+    creates 25 directories, not |V|."""
+    import shutil
+    import tempfile
+
+    e = fixtures.edges_materialized(spark, sf_dir)
+    nt = graph.neigh_tri(
+        e, graph.tri_find(adj=_oriented_adj_materialized(spark, sf_dir))
+    )
+    sub = nt.filter(F.col("v") < 25).select(
+        "v",
+        F.array_join(
+            F.transform("neighbors", lambda x: x.cast("string")), " "
+        ).alias("neighbors"),
+        F.array_join("tri_edges", " ").alias("tri_edges"),
+    )
+    path = tempfile.mkdtemp(prefix="neigh_tri_sink_")
+    try:
+        graph.neigh_tri_sink(sub, path)
+        back = spark.read.parquet(path)
+        return back.select(
+            F.col("v").cast("bigint").alias("v"), "neighbors", "tri_edges"
+        ).localCheckpoint(eager=True)  # free the temp dir after the query
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,6 +1,6 @@
 """Oracle-checked queries for the iterative graph layer (cc_find, cc_stats,
-sssp, pagerank; luby_find is rows-only with invariants tested in
-tests/test_graph_iter.py).
+cc_find_skew, sssp, pagerank; luby_find is registered in queries/rmat_gen.py
+with its own unrolled-round oracle).
 
 Oracle strategy: DuckDB has no fixpoint loop inside one statement, so each
 oracle is a *generated* K-stage chain of CTEs running the same synchronous
@@ -86,6 +86,70 @@ def cc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc, _rounds = graph_iter.cc_find(
         fixtures.edges_materialized(spark, sf_dir), arcs=_arcs(spark, sf_dir)
     )
+    return graph_iter.cc_stats(cc)
+
+
+_CC_SKEW_STAGES = 12  # measured convergence 5/3/2 rounds (sf0.001/0.01/0.1)
+
+
+def _cc_skew_oracle_prefix(k: int = _CC_SKEW_STAGES) -> str:
+    """Min-label rounds over the hub-skewed fixture graph (same chain shape
+    as _cc_oracle_prefix, different input)."""
+    parts = [
+        fixtures.duckdb_with("edges_skew"),
+        ", arcs AS MATERIALIZED (SELECT src, dst FROM edges_skew"
+        " UNION ALL SELECT dst AS src, src AS dst FROM edges_skew)",
+        ", l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM arcs)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+                SELECT cur.v, LEAST(cur.label, COALESCE(mn.ml, cur.label)) AS label
+                FROM l{i - 1} cur LEFT JOIN (
+                    SELECT a.dst AS v, MIN(l.label) AS ml
+                    FROM arcs a JOIN l{i - 1} l ON a.src = l.v GROUP BY a.dst
+                ) mn ON cur.v = mn.v
+            )"""
+        )
+    return "\n".join(parts)
+
+
+@register(
+    "cc_find_skew",
+    bench=True,
+    tags=("graph", "iterative", "skew"),
+    oracle=f"""
+        {_cc_skew_oracle_prefix()}
+        SELECT csize, COUNT(*) AS ncomp
+        FROM (SELECT label, COUNT(*) AS csize FROM l{_CC_SKEW_STAGES} GROUP BY label)
+        GROUP BY csize
+        ORDER BY csize DESC
+    """,
+)
+def cc_find_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew stress for cc_find: connected components on the hub-skewed
+    fixture graph (`edges_skew` — one vertex reaches degree |V|-1 at sf0.1,
+    ~6.5% of all edges land on vertex 0). This is the workload the
+    reference needed hand-rolled zone splitting for
+    (oink/cc_find.cpp:43-55, zones > nthresh split across procs with hi-bit
+    proc tags); here the same skew is absorbed by partial aggregation
+    (map-side combine on the min-label groupBy — the hub's updates collapse
+    to one row per partition before the shuffle) plus AQE skew handling,
+    with no operator-level special case. Output is the component-size
+    histogram, so the driver check proves the giant component's exact
+    size."""
+    e = fixtures.derived(
+        spark,
+        sf_dir,
+        "edges_skew_mat",
+        lambda: fixtures.edges_skew(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True),
+    )
+    arcs = fixtures.derived(
+        spark, sf_dir, "arcs_skew_by_dst", lambda: graph_iter.prepare_arcs(e)
+    )
+    cc, _rounds = graph_iter.cc_find(e, arcs=arcs)
     return graph_iter.cc_stats(cc)
 
 

@@ -96,6 +96,21 @@ DUCKDB_FIXTURE_SQL: dict[str, str] = {
         SELECT src, dst, CAST((src * 31 + dst) % 97 + 1 AS BIGINT) AS wu
         FROM edges
     """,
+    # hub-skewed graph: dst is drawn from a 1..64-wide window whose width
+    # cycles with the order key, so low vertex ids absorb mass from EVERY
+    # window width (P[dst=0] ≈ ln(64)/64 ≈ 6.5% of all edges) — a handful of
+    # huge hubs and a giant component. The deterministic stand-in for the
+    # power-law graphs the reference's zone splitting existed for
+    # (oink/cc_find.cpp:43-55).
+    "edges_skew": """
+        SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM (
+            SELECT CAST((l_orderkey * 37 + l_linenumber) % {NUM_VERTICES} AS BIGINT) AS src,
+                   CAST((l_partkey * 53 + l_suppkey) % (1 + (l_orderkey % 64)) AS BIGINT) AS dst
+            FROM lineitem
+        )
+        WHERE src <> dst
+    """,
     # dedup corpus: documents + injected exact duplicates (every 5th doc) and
     # near-duplicates (every 7th doc with a short appended tail), so the
     # dedup operators have known positives at every scale factor
@@ -282,6 +297,29 @@ def wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def edges_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        ((F.col("l_orderkey") * 37 + F.col("l_linenumber")) % NUM_VERTICES)
+        .cast("bigint")
+        .alias("src"),
+        (
+            (F.col("l_partkey") * 53 + F.col("l_suppkey"))
+            % (1 + (F.col("l_orderkey") % 64))
+        )
+        .cast("bigint")
+        .alias("dst"),
+    )
+    return (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     exact = d.filter(F.col("doc_id") % 5 == 0).select(
@@ -310,6 +348,7 @@ SPARK_FIXTURES = {
     "docs": docs,
     "edges_raw": edges_raw,
     "edges": edges,
+    "edges_skew": edges_skew,
     "wedges": wedges,
     "wedges_u": wedges_u,
     "corpus": corpus,
