@@ -185,6 +185,53 @@ def sssp(
     return fix.select("v", "du"), rounds
 
 
+def sssp_multi(
+    warcs: DataFrame,
+    sources: list[int],
+    max_iter: int = 50,
+    arcs: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """Multi-source shortest paths in ONE synchronous loop.
+
+    The reference's sssp command relaxes its N requested sources
+    SEQUENTIALLY — a per-source `for (cnt = 0; cnt < ncnt; ...)` driver loop
+    re-running the whole BFS (oink/sssp.cpp:88-180). The Spark-first form
+    keys the frontier by source `s`, so every source relaxes in the same
+    rounds over the same arc scan: total rounds = MAX per-source rounds
+    instead of their SUM, and each round's join amortizes the arc-table
+    read across all sources. Same exact integer-unit discipline as sssp().
+    Returns ((s, v, du) for reached vertices, rounds)."""
+    if arcs is None:
+        arcs = prepare_warcs(warcs)
+    spark = arcs.sparkSession
+    dist0 = spark.createDataFrame(
+        [(s, s, 0, True) for s in sources],
+        "s bigint, v bigint, du bigint, changed boolean",
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        frontier = state.filter("changed")
+        cand = (
+            arcs.join(F.broadcast(frontier), frontier.v == arcs.src)
+            .groupBy(F.col("s").alias("cs"), F.col("dst").alias("cv"))
+            .agg(F.min(F.col("du") + F.col("wu")).alias("nd"))
+        )
+        return state.join(
+            cand, (state.s == cand.cs) & (state.v == cand.cv), "full_outer"
+        ).select(
+            F.coalesce(state.s, F.col("cs")).alias("s"),
+            F.coalesce(state.v, F.col("cv")).alias("v"),
+            F.least(state.du, F.col("nd")).alias("du"),
+            F.coalesce(F.col("nd") < state.du, state.du.isNull()).alias("changed"),
+        )
+
+    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
+        return cur.filter("changed").isEmpty()
+
+    fix, rounds = fixpoint(dist0, step, converged, max_iter)
+    return fix.select("s", "v", "du"), rounds
+
+
 PR_SCALE = 10**12  # pagerank fixed-point: 1.0 rank unit == 10^12
 
 

@@ -210,6 +210,66 @@ def sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("v", "du", (F.col("du") / F.lit(97.0)).alias("dist"))
 
 
+_SSSP_SOURCES = (0, 1, 2)  # clique members: valid sources at every sf
+
+
+def _sssp_multi_oracle(k: int = _SSSP_STAGES) -> str:
+    seeds = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS s, CAST({s} AS BIGINT) AS v,"
+        f" CAST(0 AS BIGINT) AS du"
+        for s in _SSSP_SOURCES
+    )
+    parts = [
+        fixtures.duckdb_with("wedges_u"),
+        ", warcs AS MATERIALIZED (SELECT src, dst, wu FROM wedges_u"
+        " UNION ALL SELECT dst AS src, src AS dst, wu FROM wedges_u)",
+        f", d0 AS MATERIALIZED ({seeds})",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+                SELECT s, v, MIN(du) AS du FROM (
+                    SELECT s, v, du FROM d{i - 1}
+                    UNION ALL
+                    SELECT d.s, a.dst AS v, d.du + a.wu AS du
+                    FROM warcs a JOIN d{i - 1} d ON a.src = d.v
+                ) GROUP BY s, v
+            )"""
+        )
+    parts.append(
+        f"SELECT s, v, du, du / CAST(97.0 AS DOUBLE) AS dist FROM d{k}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "sssp_multi",
+    tags=("graph", "iterative"),
+    oracle=_sssp_multi_oracle(),
+)
+def sssp_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest paths from three sources in ONE keyed-frontier loop — the
+    reference reruns its whole BFS per source (oink/sssp.cpp:88-180
+    per-source driver loop); batching sources into the frontier key makes
+    total rounds = max per-source rounds, not the sum. Shares the prepared
+    weighted-arc table with sssp."""
+
+    def build_warcs() -> DataFrame:
+        e = fixtures.edges_materialized(spark, sf_dir)
+        wu = e.select(
+            "src",
+            "dst",
+            ((F.col("src") * 31 + F.col("dst")) % 97 + 1).cast("bigint").alias("wu"),
+        )
+        return graph_iter.prepare_warcs(graph_iter.weighted_arcs(wu))
+
+    warcs = fixtures.derived(spark, sf_dir, "warcs_by_dst", build_warcs)
+    dist, _rounds = graph_iter.sssp_multi(
+        warcs, list(_SSSP_SOURCES), arcs=warcs
+    )
+    return dist.select("s", "v", "du", (F.col("du") / F.lit(97.0)).alias("dist"))
+
+
 _PR_ITERS = 10
 
 
