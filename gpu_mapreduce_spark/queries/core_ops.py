@@ -371,7 +371,11 @@ def _chunk_file(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     out = _CHUNK_SCRATCH / sf_dir.strip("/").replace("/", "_") / "chunks.txt"
-    if not out.exists():
+    src = f"{sf_dir}/documents.parquet"
+    # rebuild when the driver regenerates the parquet between rounds —
+    # a stale derived file would hash-mismatch confusingly
+    stale = out.exists() and os.path.getmtime(str(out)) < os.path.getmtime(src)
+    if stale or not out.exists():
         from gpu_mapreduce_spark.sources.tables import table
 
         rows = (

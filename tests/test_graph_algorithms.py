@@ -86,3 +86,28 @@ def test_rmat_cc_matches_union_find(spark):
         comp[root] = min(comp.get(root, v), v)
     want = {v: comp[find(v)] for v in parent}
     assert got == want
+
+
+def test_neigh_tri_sink_one_dir_per_vertex(spark, tmp_path):
+    """The sink's on-disk contract (oink/neigh_tri.cpp:39-60: one output
+    file per vertex): write.partitionBy must produce exactly one v=<id>
+    directory per input vertex, and the partitioned read-back must
+    reproduce every row."""
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.operators import graph
+
+    nt = spark.createDataFrame(
+        [(v, f"n{v}", f"t{v}") for v in range(7)],
+        "v bigint, neighbors string, tri_edges string",
+    )
+    path = str(tmp_path / "nt")
+    graph.neigh_tri_sink(nt, path)
+
+    dirs = sorted(p.name for p in (tmp_path / "nt").iterdir() if p.name.startswith("v="))
+    assert dirs == [f"v={v}" for v in range(7)]
+
+    back = spark.read.parquet(path).select(
+        F.col("v").cast("bigint").alias("v"), "neighbors", "tri_edges"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nt.collect()))

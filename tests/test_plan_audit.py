@@ -43,6 +43,20 @@ ALLOWED_BNLJ = {
     "dedup_embedding": "O(n^2) exact near-dup baseline for dedup_embedding_lsh",
 }
 
+# Unpartitioned Window operators move ALL input rows to one task — the
+# round-2 IVF centroid pick funneled the whole corpus that way. Allowed only
+# where the window input is bounded by construction (a preceding limit).
+ALLOWED_GLOBAL_WINDOW = {
+    "ann_ivf_topk": "cid ranking over the n_centroids-row TakeOrdered output",
+}
+
+# A physical Window node prints `Window [exprs], [partitionSpec], [orderSpec]`
+# — three bracket groups; with NO partition spec the middle group is absent,
+# leaving two. (WindowGroupLimit nodes print differently and always carry
+# their partition spec first.)
+_GLOBAL_WINDOW_RE = re.compile(r"Window \[[^\n]*?\], \[[^\n]*?\]\s*$")
+_PARTITIONED_WINDOW_RE = re.compile(r"Window \[[^\n]*?\], \[[^\n]*?\], \[[^\n]*?\]\s*$")
+
 
 def _plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -56,6 +70,18 @@ def test_plan_is_scale_safe(spark, name):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF (use pandas_udf/mapInPandas):\n{plan}"
     )
+
+    if name not in ALLOWED_GLOBAL_WINDOW:
+        for line in plan.splitlines():
+            s = line.strip()
+            if "Window [" not in s or "WindowGroupLimit" in s:
+                continue
+            assert not (
+                _GLOBAL_WINDOW_RE.search(s) and not _PARTITIONED_WINDOW_RE.search(s)
+            ), (
+                f"{name}: unpartitioned Window (single-task global sort of "
+                f"its whole input):\n{s}\n{plan}"
+            )
 
     if name in ALLOWED_BNLJ:
         return
