@@ -34,6 +34,27 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_enriched",
+    tags=("streaming", "join"),
+    oracle=f"""
+        SELECT c_mktsegment, event_type,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment, event_type
+    """,
+)
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (batch half): events joined to
+    the broadcast customer dim, aggregated per (segment, type). The
+    streaming half runs the identical transform over the file-source stream
+    (tests/test_streaming.py asserts equality)."""
+    return pipeline.enriched_type_counts(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
+    )
+
+
+@register(
     "events_sessionized",
     tags=("streaming",),
     oracle=f"""

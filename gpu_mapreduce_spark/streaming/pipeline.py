@@ -72,6 +72,28 @@ def windowed_counts(events: DataFrame, with_watermark: bool = False) -> DataFram
     )
 
 
+def enriched_type_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment: every event joined to the (static) customer
+    dimension, then exact counts/sums per (mktsegment, event_type).
+
+    One transform for both halves — Structured Streaming joins a stream to
+    a batch DataFrame natively (the dim is read fresh per micro-batch, so a
+    slowly-changing dimension picks up updates between batches), and the
+    explicit broadcast keeps the stream side shuffle-free: the same plan a
+    100-TB batch enrichment wants."""
+    dim = F.broadcast(
+        customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Batch sessionization: a session breaks after a gap > gap_min minutes
     without events from that user. Window-function formulation (the

@@ -49,3 +49,17 @@ def test_sessionize_stream_closes_batch_sessions(spark):
     }
     assert got_rows == want
     assert len(want) > 0
+
+
+def test_enriched_stream_equals_batch(spark):
+    """Stream-static join: the streaming half joins each micro-batch to the
+    static customer dim; with availableNow draining everything, the result
+    must equal the batch enrichment exactly."""
+    customers = table(spark, SF_DIR, "customer")
+    batch = pipeline.enriched_type_counts(table(spark, SF_DIR, "events"), customers)
+    stream = pipeline.enriched_type_counts(
+        pipeline.events_stream(spark, SF_DIR), customers
+    )
+    got = pipeline.run_stream_to_memory(stream, "t_enriched", spark)
+    cols = ["c_mktsegment", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
