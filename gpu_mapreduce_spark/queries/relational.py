@@ -193,3 +193,56 @@ def q1_sql_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     return spark.sql(_Q1_SQL)
+
+
+@register(
+    "customers_no_orders",
+    tags=("relational", "join", "anti"),
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — a join class the reference cannot express at all
+    (its add+collate+tag-dispatch idiom needs a value present on BOTH
+    sides to dispatch on; absence detection requires the grouped
+    all-values-view only a real anti join / NOT EXISTS provides). Plan:
+    the orders side reduces to its join key at the scan (ReadSchema one
+    column), then one hash anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "cube_order_stats",
+    tags=("relational", "groupingsets"),
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four grain combinations in one pass
+    (detail / per-status / per-priority / grand total) — the per-priority
+    margin is the row set ROLLUP cannot produce. Same exact fixed-point
+    sums and MSB-first grouping_id convention as rollup_order_stats."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )

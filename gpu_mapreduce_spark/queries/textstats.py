@@ -187,3 +187,36 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("stop_ratio")).alias("avg_stop_ratio"),
         )
     )
+
+
+@register(
+    "textstats_length_quantiles",
+    tags=("llm", "textstats"),
+    oracle=f"""
+        SELECT quantile_cont(n, 0.5) AS p50,
+               quantile_cont(n, 0.9) AS p90,
+               quantile_cont(n, 0.99) AS p99,
+               CAST(MIN(n) AS INT) AS min_tokens,
+               CAST(MAX(n) AS INT) AS max_tokens
+        FROM (SELECT CAST(len({_TOKS}) AS INT) AS n FROM documents)
+    """,
+)
+def textstats_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution (token-count percentiles) — the
+    length-filter calibration every corpus-cleaning pipeline starts with.
+    Exact `percentile` here (both engines share the linear-interpolation
+    definition, so values hash-match); at 100 TB swap in
+    `approx_percentile(n, p, accuracy)` — same output shape, bounded-memory
+    KLL-style sketch, no exact global sort."""
+    from pyspark.sql import functions as F
+
+    d = _wide(table(spark, sf_dir, "documents"))
+    n = ts.tokens(F.col("text"))
+    counts = d.select(F.size(n).cast("int").alias("n"))
+    return counts.agg(
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
