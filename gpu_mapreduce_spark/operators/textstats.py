@@ -65,9 +65,15 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic document-quality signals (length, stopword density, token
-    diversity) + a keep/drop flag — the C4-style filter shape."""
+    diversity) + a keep/drop flag — the C4-style filter shape.
+
+    `keep_cols` passes input columns through (e.g. the text column, so a
+    later per-doc stage can chain onto this output as one collapsed
+    projection instead of re-scanning and joining back on doc_id)."""
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_stop = F.size(
@@ -78,6 +84,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     uniq_ratio = n_uniq / n_tok.cast("double")
     return docs.select(
         "doc_id",
+        *keep_cols,
         n_tok.alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
         uniq_ratio.alias("uniq_ratio"),
@@ -87,13 +94,17 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """N-gram-free language-ID heuristic: argmax of function-word hits with a
     fixed tie-break order (en > de > es > fr), 'und' (undetermined) when no
-    function word matches at all."""
+    function word matches at all. `keep_cols` as in quality_score."""
     t = tokens(F.col(text_col))
     scores = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
-    s = docs.select("doc_id", *[c.alias(f"s_{lang}") for lang, c in scores.items()])
+    s = docs.select(
+        "doc_id", *keep_cols, *[c.alias(f"s_{lang}") for lang, c in scores.items()]
+    )
     e, d, sp, fr = F.col("s_en"), F.col("s_de"), F.col("s_es"), F.col("s_fr")
     guess = (
         F.when(e + d + sp + fr == 0, F.lit("und"))
@@ -102,7 +113,9 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(sp >= fr, F.lit("es"))
         .otherwise(F.lit("fr"))
     )
-    return s.select("doc_id", "s_en", "s_de", "s_es", "s_fr", guess.alias("guess"))
+    return s.select(
+        "doc_id", *keep_cols, "s_en", "s_de", "s_es", "s_fr", guess.alias("guess")
+    )
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

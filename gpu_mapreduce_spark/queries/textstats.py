@@ -175,12 +175,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     survivors = corpus.join(keep_ids, "doc_id")
-    scored = ts.quality_score(survivors).select("doc_id", "n_tokens", "stop_ratio", "keep")
-    langs = ts.lang_id(survivors).select("doc_id", "guess")
+    # quality -> (filter) -> lang-ID chained as pass-through projections:
+    # Catalyst collapses them into ONE projection over one survivor scan
+    # (codegen subexpression elimination shares the token build), where the
+    # r02 form computed scored and langs as separate scans joined back on
+    # doc_id — a whole extra shuffle join that buys nothing
+    scored = ts.quality_score(survivors, keep_cols=("text",))
+    both = ts.lang_id(
+        scored.filter("keep"), keep_cols=("n_tokens", "stop_ratio")
+    )
     return (
-        scored.filter("keep")
-        .join(langs, "doc_id")
-        .groupBy(F.col("guess").alias("lang"))
+        both.groupBy(F.col("guess").alias("lang"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
