@@ -85,3 +85,39 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference lacks entirely) — the batch half of the
     applyInPandasWithState streaming sessionizer."""
     return pipeline.sessionize_batch(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_props_parsed",
+    tags=("streaming", "semistructured"),
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+                   AS sum_k,
+               CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER))
+                   AS BIGINT) AS n_distinct_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def events_props_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling: the events table carries a JSON
+    `props` string; from_json parses it against a declared schema INSIDE the
+    scan projection (JVM-side Jackson, no Python), and the parsed field
+    aggregates like any typed column. The schema-on-read shape every event
+    pipeline needs; at scale prefer extracting hot JSON fields to typed
+    columns at ingest so the parse cost is paid once."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+    )
