@@ -74,6 +74,7 @@ def load_all() -> dict[str, QueryDef]:
             multimodal,
             streaming_batch,
             analytics,
+            skew,
         )
 
         _loaded = True
