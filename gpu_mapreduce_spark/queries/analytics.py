@@ -230,10 +230,10 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table join with a cross-dimension predicate
-    (supplier nation == customer nation). Physical strategy: all four dims
-    broadcast (region-filtered nation prunes suppliers AND customers before
-    the facts are touched), so the only shuffle join is the big-big
-    orders⋈lineitem on orderkey — same bucketable axis as q3."""
+    (supplier nation == customer nation). Physical strategy: the bounded
+    dims (region/nation/supplier) broadcast explicitly, customer under an
+    AQE size guard (see below), so the only guaranteed shuffle join is the
+    big-big orders⋈lineitem on orderkey — same bucketable axis as q3."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = (
         table(spark, sf_dir, "nation")
@@ -261,7 +261,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey")
     )
-    co = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+    # customer is the ONE dim that grows with the fact tables (SF-scaled), so
+    # it gets a size guard instead of an unconditional hint: AQE's runtime
+    # stats broadcast it while it fits under autoBroadcastJoinThreshold and
+    # fall back to a shuffle join beyond — the tiny bounded dims above stay
+    # explicitly broadcast (region-filtered nation is <= |nations| rows).
+    co = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_nationkey"
     )
     l = table(spark, sf_dir, "lineitem").select(

@@ -88,6 +88,39 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_deduped",
+    tags=("streaming", "dedup"),
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def events_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once repair (batch half): redeliver every 3rd event, dedup on
+    event_id, aggregate. event_id is unique in the source, so the dedup must
+    restore the original table EXACTLY — the oracle is the plain events
+    aggregate, and any surviving duplicate breaks both n and sum_value. The
+    streaming half runs dropDuplicatesWithinWatermark over the same
+    redelivered stream (tests/test_streaming.py asserts row-set equality)."""
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.functions.numeric import dsum
+
+    deduped = pipeline.dedup_events(
+        pipeline.with_redelivery(table(spark, sf_dir, "events"))
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@register(
     "events_props_parsed",
     tags=("streaming", "semistructured"),
     oracle="""

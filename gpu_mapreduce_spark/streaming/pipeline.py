@@ -94,6 +94,28 @@ def enriched_type_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
     )
 
 
+def with_redelivery(events: DataFrame) -> DataFrame:
+    """Simulate an at-least-once bus: every 3rd event is delivered twice
+    (exact copies — the redelivery case; same shape for batch and stream
+    inputs, so the dual tests share one corruption)."""
+    return events.unionAll(events.filter(F.col("event_id") % 3 == 0))
+
+
+def dedup_events(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Exactly-once repair over an at-least-once delivery: drop redelivered
+    event_ids. The streaming half uses dropDuplicatesWithinWatermark so the
+    dedup state is BOUNDED by the lateness horizon — the plain streaming
+    dropDuplicates keeps every key ever seen and grows without limit, which
+    is the difference between a pipeline that runs for a week and one that
+    OOMs. Batch uses plain dropDuplicates (duplicates are exact copies, so
+    keep-any is deterministic)."""
+    if streaming:
+        return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Batch sessionization: a session breaks after a gap > gap_min minutes
     without events from that user. Window-function formulation (the

@@ -51,6 +51,33 @@ def test_sessionize_stream_closes_batch_sessions(spark):
     assert len(want) > 0
 
 
+def test_dedup_stream_equals_batch(spark):
+    """At-least-once repair: the watermark-bounded streaming dedup over the
+    redelivered stream must yield exactly the batch dedup's row set (= the
+    original events, since event_id is unique in the source)."""
+    from pyspark.sql import functions as F
+
+    def normalize(df):
+        return df.select(
+            "event_id", F.unix_millis("ts").alias("ts_ms"), "user_id",
+            "event_type", "value",
+        )
+
+    batch = pipeline.dedup_events(
+        pipeline.with_redelivery(table(spark, SF_DIR, "events"))
+    )
+    stream = pipeline.dedup_events(
+        pipeline.with_redelivery(pipeline.events_stream(spark, SF_DIR)),
+        streaming=True,
+    )
+    got = pipeline.run_stream_to_memory(
+        normalize(stream), "t_dedup", spark, output_mode="append"
+    )
+    cols = ["event_id", "ts_ms", "user_id", "event_type", "value"]
+    assert _rows(got, cols) == _rows(normalize(batch), cols)
+    assert got.count() == table(spark, SF_DIR, "events").count()
+
+
 def test_enriched_stream_equals_batch(spark):
     """Stream-static join: the streaming half joins each micro-batch to the
     static customer dim; with availableNow draining everything, the result
