@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gpu_mapreduce_spark.operators import similarity
+from gpu_mapreduce_spark.operators import kmeans, similarity
 from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources.tables import table
 
@@ -260,3 +260,63 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.dup_pairs_lsh(
         table(spark, sf_dir, "embeddings"), threshold_e6=DUP_T_E6
     )
+
+
+def _kmeans_oracle(k: int, iters: int, pack: int, scale: int = 10000) -> str:
+    """CTE replay of the fixed-point Lloyd iterations (operators/kmeans.py):
+    same quantization, same md5 init, same packed-score argmin, same
+    floored exact-sum mean — the oracle runs the ALGORITHM, not a
+    reference implementation."""
+    parts = [
+        f"""WITH pts AS (
+            SELECT vec_id AS id,
+                   CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {scale}) AS BIGINT) AS xu,
+                   CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {scale}) AS BIGINT) AS yu
+            FROM embeddings
+        ), c0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS BIGINT) AS ck,
+                   xu AS cx, yu AS cy
+            FROM (
+                SELECT id, xu, yu,
+                       ('0x' || substr(md5('km|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM pts ORDER BY h, id LIMIT {k}
+            )
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS (
+                SELECT p.id, p.xu, p.yu,
+                       MIN(((p.xu - c.cx) * (p.xu - c.cx)
+                            + (p.yu - c.cy) * (p.yu - c.cy)) * {pack} + c.ck)
+                           % {pack} AS ck
+                FROM pts p CROSS JOIN c{i - 1} c
+                GROUP BY p.id, p.xu, p.yu
+            ), c{i} AS (
+                SELECT ck,
+                       CAST(FLOOR(CAST(SUM(xu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx,
+                       CAST(FLOOR(CAST(SUM(yu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cy,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM a{i} GROUP BY ck
+            )"""
+        )
+    parts.append(
+        f"SELECT ck AS k, cx AS x_u, cy AS y_u, n FROM c{iters}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_2d",
+    bench=True,
+    tags=("iterative", "clustering"),
+    oracle=_kmeans_oracle(kmeans.K, kmeans.ITERS, kmeans.PACK),
+)
+def kmeans_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chapter benchmark's k-means workload (chapter_final.pdf §3.4 —
+    GPMR comparison; the fork itself ships no k-means, see BASELINE.md):
+    2-D points from the embeddings table, k=8, 5 Lloyd iterations, exact
+    fixed-point arithmetic. Assignment is a codegen least() projection,
+    update one k-group shuffle per round — see operators/kmeans.py."""
+    pts = kmeans.quantize_2d(table(spark, sf_dir, "embeddings"))
+    return kmeans.kmeans_2d(spark, pts)
