@@ -121,6 +121,29 @@ def events_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attributed",
+    tags=("streaming", "join"),
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               p.user_id,
+               epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts > p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+    """,
+)
+def events_attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution (batch half of the stream-stream join dual):
+    (purchase, view) pairs from the same user within a 30-minute window.
+    The streaming half is a watermarked stream-stream inner join whose
+    buffered state is evicted at watermark + window
+    (tests/test_streaming.py asserts row-set equality)."""
+    return pipeline.attributed_purchases(table(spark, sf_dir, "events"))
+
+
+@register(
     "events_props_parsed",
     tags=("streaming", "semistructured"),
     oracle="""

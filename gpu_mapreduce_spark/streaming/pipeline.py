@@ -116,6 +116,52 @@ def dedup_events(events: DataFrame, streaming: bool = False) -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+ATTRIBUTION_MIN = 30
+
+
+def attributed_purchases(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Funnel attribution: every (purchase, view) pair from the same user
+    with the view at most ATTRIBUTION_MIN minutes before (or at) the
+    purchase. One transform for both halves:
+
+    Batch: equi-join on user_id with the time bound as a join-level
+    predicate — one shuffle per side, per-user sorted probe; pair volume is
+    bounded per user, never |events|².
+
+    Streaming: a genuine STREAM-STREAM inner join (the only join class the
+    stream-static enrichment can't express — both sides keep arriving).
+    Watermarks on both inputs plus the two-sided time bound let Spark
+    compute exactly how long a buffered view can still match a future
+    purchase, so join state is evicted at `watermark + ATTRIBUTION_MIN`:
+    state ∝ the lateness horizon, not stream length."""
+    purch = events.filter(F.col("event_type") == "purchase")
+    views = events.filter(F.col("event_type") == "view")
+    if streaming:
+        purch = purch.withWatermark("ts", "2 hours")
+        views = views.withWatermark("ts", "2 hours")
+    p = purch.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr(f"interval {ATTRIBUTION_MIN} minutes"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    return p.join(v, cond).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_millis("p_ts") - F.unix_millis("v_ts")).alias("lag_ms"),
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Batch sessionization: a session breaks after a gap > gap_min minutes
     without events from that user. Window-function formulation (the

@@ -78,6 +78,23 @@ def test_dedup_stream_equals_batch(spark):
     assert got.count() == table(spark, SF_DIR, "events").count()
 
 
+def test_attributed_stream_equals_batch(spark):
+    """Stream-stream inner join: with availableNow draining both sides, the
+    watermarked purchase⋈view attribution must equal the batch join
+    exactly (no pair lost to state eviction — the watermark horizon exceeds
+    the attribution window)."""
+    batch = pipeline.attributed_purchases(table(spark, SF_DIR, "events"))
+    stream = pipeline.attributed_purchases(
+        pipeline.events_stream(spark, SF_DIR), streaming=True
+    )
+    got = pipeline.run_stream_to_memory(
+        stream, "t_attributed", spark, output_mode="append"
+    )
+    cols = ["purchase_id", "view_id", "user_id", "lag_ms"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
+
+
 def test_enriched_stream_equals_batch(spark):
     """Stream-static join: the streaming half joins each micro-batch to the
     static customer dim; with availableNow draining everything, the result
