@@ -167,3 +167,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, and the all-pairs band-XOR popcount (equal to full 64-bit
     Hamming distance since bands partition the signature)."""
     return dedup.simhash_pairs(fixtures.corpus(spark, sf_dir), max_dist=3)
+
+
+_CLUSTER_ROUNDS = 12  # pair-graph diameter margin (components are dup stars
+# plus occasional coincidental bridges; 12 matches the cc_find_skew margin)
+
+
+def _cluster_oracle() -> str:
+    """Exact Jaccard pairs -> min-label rounds -> per-cluster summary: the
+    same replay chain shape as the cc oracles, over the dedup pair graph."""
+    parts = [
+        f"{_C},",
+        _SH_SQL,
+        """, pairs AS MATERIALIZED (
+            SELECT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       len(list_intersect(x.s, y.s)) AS inter,
+                       len(x.s) AS na, len(y.s) AS nb
+                FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+            )
+            WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.8
+        ), arcs AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b AS src, a AS dst FROM pairs
+        ), l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM arcs)""",
+    ]
+    for i in range(1, _CLUSTER_ROUNDS + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+                SELECT cur.v, LEAST(cur.label, COALESCE(mn.ml, cur.label)) AS label
+                FROM l{i - 1} cur LEFT JOIN (
+                    SELECT a.dst AS v, MIN(l.label) AS ml
+                    FROM arcs a JOIN l{i - 1} l ON a.src = l.v GROUP BY a.dst
+                ) mn ON cur.v = mn.v
+            )"""
+        )
+    parts.append(
+        f"""SELECT label AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS csize,
+               md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY v)) AS members_digest
+        FROM l{_CLUSTER_ROUNDS} GROUP BY label"""
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "dedup_clusters",
+    tags=("llm", "dedup", "graph"),
+    oracle=_cluster_oracle(),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup OUTPUT (what a corpus pipeline actually consumes):
+    MinHash-LSH candidates verified to J >= 0.8, connected components over
+    the pair graph — transitive closure, so A~B~C collapses to ONE cluster
+    even when A~C alone is below threshold — and canonical doc = min doc_id
+    (exactly the label min-propagation converges to). Composition of two
+    already-verified operators (dedup.minhash_lsh_pairs + graph_iter.cc_find);
+    per-cluster member digest proves full membership byte-for-byte.
+    Scale shape: pair volume ≪ corpus (LSH-bounded), the cc loop runs on the
+    pair graph only — never the corpus."""
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    pairs = dedup.minhash_lsh_pairs(fixtures.corpus(spark, sf_dir), threshold=0.8)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc, _rounds = graph_iter.cc_find(edges)
+    return cc.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("v")).cast("array<string>"))
+        ).alias("members_digest"),
+    ).select(F.col("zone").alias("keep_id"), "csize", "members_digest")
