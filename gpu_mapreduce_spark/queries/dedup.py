@@ -67,6 +67,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    len(list_intersect(x.s, y.s)) AS inter,
                    len(x.s) AS na, len(y.s) AS nb
             FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+                -- exact-preserving size prune: J >= 0.8 forces
+                -- 5*min(|x|,|y|) >= 4*max(|x|,|y|) (J <= min/max), so this
+                -- drops no qualifying pair but skips ~3/4 of the intersects
+                AND len(x.s) * 5 >= len(y.s) * 4
+                AND len(y.s) * 5 >= len(x.s) * 4
         )
         WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.8
     """,
@@ -90,6 +95,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    len(list_intersect(x.s, y.s)) AS inter,
                    len(x.s) AS na, len(y.s) AS nb
             FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+                -- exact-preserving size prune: J >= 0.8 forces
+                -- 5*min(|x|,|y|) >= 4*max(|x|,|y|) (J <= min/max), so this
+                -- drops no qualifying pair but skips ~3/4 of the intersects
+                AND len(x.s) * 5 >= len(y.s) * 4
+                AND len(y.s) * 5 >= len(x.s) * 4
         )
         WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.8
     """,
@@ -185,6 +195,11 @@ def _cluster_oracle() -> str:
                        len(list_intersect(x.s, y.s)) AS inter,
                        len(x.s) AS na, len(y.s) AS nb
                 FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+                -- exact-preserving size prune: J >= 0.8 forces
+                -- 5*min(|x|,|y|) >= 4*max(|x|,|y|) (J <= min/max), so this
+                -- drops no qualifying pair but skips ~3/4 of the intersects
+                AND len(x.s) * 5 >= len(y.s) * 4
+                AND len(y.s) * 5 >= len(x.s) * 4
             )
             WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.8
         ), arcs AS MATERIALIZED (
