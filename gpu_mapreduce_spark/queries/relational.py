@@ -72,6 +72,42 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    tags=("relational", "pushdown"),
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical predicate-pushdown/column-pruning probe
+    — four range predicates, a 4-column projection from an 11-column table,
+    one scalar aggregate. The RIGHT plan is a bare scan with every filter in
+    `PushedFilters` and `ReadSchema` shrunk to the 4 touched columns, then a
+    map-side-total partial agg — no shuffle of data rows at any scale.
+    tests/test_plan_audit.py asserts the pushdown/pruning mechanically."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "q3_top_orders",
     bench=True,
     tags=("relational", "join"),

@@ -92,3 +92,27 @@ def test_plan_is_scale_safe(spark, name):
             f"{name}: BroadcastNestedLoopJoin outside the nation-clique "
             f"fixture build:\n{plan}"
         )
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """Q6 is the canonical scan-efficiency probe: all four predicates must
+    reach the parquet reader as PushedFilters and the read schema must be
+    pruned to exactly the 4 touched columns — a scan reading 11 columns for
+    a 4-column query would be wrong at any scale."""
+    df = _QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR)
+    # PushedFilters/ReadSchema print only in the formatted explain, not in
+    # executedPlan().toString()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PushedFilters in plan:\n{plan}"
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"filter on {col} not pushed: [{pushed}]\n{plan}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, f"no ReadSchema in plan:\n{plan}"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, f"scan not pruned to the touched columns: {sorted(read_cols)}"
