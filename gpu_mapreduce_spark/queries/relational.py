@@ -73,6 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
+    bench=True,
     tags=("relational", "pushdown"),
     oracle=f"""
         SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
