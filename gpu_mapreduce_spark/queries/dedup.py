@@ -1,7 +1,7 @@
 """Dedup queries over the `corpus` fixture (documents + injected exact and
 near duplicates — sources/fixtures.py).
 
-ALL four tiers are fully oracle-checked. dedup_exact and
+ALL tiers are fully oracle-checked. dedup_exact and
 dedup_jaccard_pairs against direct SQL; dedup_minhash_lsh against the exact
 all-pairs Jaccard set (valid because every LSH candidate is verified with
 exact Jaccard and banded recall at J>=0.8 is ~1-1e-7 — see its docstring);
