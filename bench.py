@@ -42,8 +42,9 @@ def main() -> None:
     # Per-query fault isolation: one raising query must never zero the whole
     # benchmark (round-2 postmortem: a single AnalysisException aborted the
     # run and the driver recorded no numbers for the 17 healthy queries).
-    # Failures are recorded as {"err": ...} in a separate map and excluded
-    # from the headline total; the JSON line is always emitted.
+    # Failures are recorded as name -> "ExcType: message" strings in a
+    # separate top-level "errors" map and excluded from the headline total;
+    # the JSON line is always emitted.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(queries.items()):
@@ -107,6 +108,8 @@ if __name__ == "__main__":
         main()
     except Exception as exc:  # noqa: BLE001 — catastrophic (session/registry)
         # still emit the one JSON line the driver parses
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
                 {
@@ -114,6 +117,7 @@ if __name__ == "__main__":
                     "value": None,
                     "unit": "sec",
                     "queries": {},
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "fatal": f"{type(exc).__name__}: {exc}"[:500],
                 }
             )

@@ -3,7 +3,7 @@
 The driver's correctness gate hashes VALUES, so any operator whose output
 depends on a hash must use one both engines can compute bit-identically.
 The portable form used across this repo (see also operators/rmat.py:54-56,
-operators/dedup._token_bits):
+operators/dedup.simhash_sigs):
 
     Spark:  conv(substring(md5(s), 1, 15), 16, 10) cast to BIGINT
     DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT

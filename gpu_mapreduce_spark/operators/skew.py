@@ -60,6 +60,13 @@ def salted_join(
     """
     if salt_src is None:
         salt_src = [c for c in left.columns if c not in on]
+    if not salt_src:
+        raise ValueError(
+            "salted_join needs at least one non-join left column to hash the "
+            "salt from (salt hashed from the join key itself would put every "
+            "hot-key row in ONE bucket, silently defeating the salting); "
+            "pass salt_src explicitly"
+        )
     lt = left.withColumn(SALT, _salt_of(salt_src, num_salts))
     rt = right.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
@@ -77,16 +84,20 @@ def salted_collect_sorted(
     alias: str = "values",
 ) -> DataFrame:
     """groupBy(keys).collect_list(value), sorted, with the collect split into
-    two stages so a hot key never funnels all its rows through one task:
-    stage 1 collects per (keys, salt) — each reducer holds at most ~1/num_salts
-    of the hot group — stage 2 merges the `num_salts` pre-sorted partials per
-    key and sorts in-row. Exact same multiset as the direct collect; the sort
-    makes the result a function of the data, not of arrival order.
+    two stages: stage 1 collects per (keys, salt), so the ROW-heavy work — one
+    grouping-state update per input row — spreads over num_salts reducers
+    instead of funneling a hot key through one; stage 2 receives only
+    num_salts pre-aggregated array rows per key and flattens + sorts in-row.
+    The hot group's BYTES still meet at the stage-2 task (inherent to
+    returning the full list — aggregate to a digest/size instead if even
+    that must stay bounded); what salting fixes is the per-row reducer
+    hotspot. Exact same multiset as the direct collect; the final sort makes
+    the result a function of the data, not of arrival order.
     """
     partial = (
         df.withColumn(SALT, _salt_of([value], num_salts))
         .groupBy(*keys, SALT)
-        .agg(F.sort_array(F.collect_list(value)).alias("_vals"))
+        .agg(F.collect_list(value).alias("_vals"))
     )
     return partial.groupBy(*keys).agg(
         F.array_sort(F.flatten(F.collect_list("_vals"))).alias(alias)

@@ -171,7 +171,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance <= 3 pairs (band-complete candidate
     generation; verification by bit_count of XOR).
 
-    The signature hash is md5-derived (operators/dedup._token_bits)
+    The signature hash is md5-derived (operators/dedup.simhash_sigs)
     specifically so this oracle can recompute the IDENTICAL signature in
     DuckDB — the SQL above rebuilds per-token bits, majority votes, 16-bit
     bands, and the all-pairs band-XOR popcount (equal to full 64-bit

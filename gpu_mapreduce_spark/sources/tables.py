@@ -45,8 +45,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     # set at read time, not only in our session factory, so the queries also
-    # agree with the UTC-naive oracle under a driver-provided bare session
+    # agree with the UTC-naive oracle under a driver-provided bare session;
+    # same for the nanos guard — without it a bare session cannot even scan
+    # a legacy TIMESTAMP(NANOS) file (the vectorized reader rejects it
+    # before the bigint branch below could normalize)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
 
