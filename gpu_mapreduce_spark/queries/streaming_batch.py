@@ -143,6 +143,66 @@ def events_attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.attributed_purchases(table(spark, sf_dir, "events"))
 
 
+def partitioned_week_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Write events date-partitioned (the standard time-partitioned table
+    layout), read back with a one-week predicate, aggregate. Split from the
+    registered query so tests/test_plan_audit.py can assert the read-back
+    scan carries PartitionFilters (directory pruning: the other ~23 day
+    partitions are never opened) before the result is materialized."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    from gpu_mapreduce_spark.functions.numeric import dsum
+
+    return (
+        back.filter(
+            (F.col("event_date") >= "2024-01-08") & (F.col("event_date") < "2024-01-15")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_partitioned_scan",
+    tags=("sources", "pushdown"),
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-08'
+          AND strftime(ts, '%Y-%m-%d') < '2024-01-15'
+        GROUP BY event_type
+    """,
+)
+def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned layout roundtrip: events written
+    `partitionBy(event_date)` — the at-rest layout every 100-TB event table
+    uses — then read back with a one-week filter that prunes to 7 of ~30 day
+    directories (PartitionFilters, asserted mechanically in
+    tests/test_plan_audit.py). The oracle aggregates the same week from the
+    ORIGINAL table, so a row lost or duplicated by the partitioned write
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="events_bydate_")
+    try:
+        return partitioned_week_counts(spark, sf_dir, path).localCheckpoint(
+            eager=True  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register(
     "events_props_parsed",
     tags=("streaming", "semistructured"),

@@ -94,6 +94,22 @@ def test_plan_is_scale_safe(spark, name):
         )
 
 
+def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
+    """The date-partitioned read-back must prune by directory: the one-week
+    predicate shows up as PartitionFilters on the scan (only the matching
+    day partitions are listed/opened), not as a post-scan filter."""
+    from gpu_mapreduce_spark.queries.streaming_batch import partitioned_week_counts
+
+    df = partitioned_week_counts(spark, SF_DIR, str(tmp_path / "bydate"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), (
+        f"week predicate not applied as a partition filter:\n{plan}"
+    )
+
+
 def test_q6_pushdown_and_pruning(spark):
     """Q6 is the canonical scan-efficiency probe: all four predicates must
     reach the parquet reader as PushedFilters and the read schema must be
