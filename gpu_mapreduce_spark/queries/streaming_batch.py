@@ -203,6 +203,45 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot",
+    tags=("relational", "semistructured"),
+    oracle=f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               {", ".join(
+                   f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+                   for t in _EVENT_TYPES
+               )}
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide report): daily event counts, one column per event
+    type. The value list is passed EXPLICITLY — without it Spark first runs
+    a distinct-collect job over the pivot column to discover values (an
+    extra full scan, and a failure mode when cardinality is unbounded);
+    with it the pivot compiles straight to per-value conditional aggregates,
+    map-side combinable like any groupBy. Missing combinations surface as
+    NULL from pivot-count; coalesced to 0 to match the SQL FILTER
+    semantics."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("d")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return wide.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
 @register(
     "events_props_parsed",
     tags=("streaming", "semistructured"),
