@@ -28,6 +28,17 @@ import sys
 import time
 
 
+def _sf_of(sf_dir: str):
+    """Best-effort scale factor from the dir name; never raises — a payload
+    that fails to build here would lose the whole run's numbers (the
+    round-2 failure mode this file exists to prevent)."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gpu_mapreduce_spark.registry import load_all
@@ -90,13 +101,12 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _sf_of(sf_dir),
     }
     if errors:
         payload["errors"] = errors
@@ -108,8 +118,6 @@ if __name__ == "__main__":
         main()
     except Exception as exc:  # noqa: BLE001 — catastrophic (session/registry)
         # still emit the one JSON line the driver parses
-        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
                 {
@@ -117,7 +125,9 @@ if __name__ == "__main__":
                     "value": None,
                     "unit": "sec",
                     "queries": {},
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "sf": _sf_of(
+                        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+                    ),
                     "fatal": f"{type(exc).__name__}: {exc}"[:500],
                 }
             )

@@ -473,21 +473,16 @@ def scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     headered CSV sink (the distributed form of the reference's per-pair
     print callback), then proves nothing was lost or reformatted by reading
     the dump back and re-aggregating it."""
-    import shutil
-    import tempfile
+    from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
 
     kv = fixtures.kvpairs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="scan_sink_")
-    try:
+
+    def build(path: str) -> DataFrame:
         core.scan_sink(kv.coalesce(4), path, fmt="csv", header=True)
         back = spark.read.csv(path, header=True, inferSchema=True)
-        return (
-            back.groupBy("k")
-            .agg(F.sum("v").cast("bigint").alias("sum"))
-            .localCheckpoint(eager=True)  # free the temp dir after the query
-        )
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+        return back.groupBy("k").agg(F.sum("v").cast("bigint").alias("sum"))
+
+    return sink_roundtrip("scan_sink_", build)
 
 
 @register(

@@ -258,8 +258,7 @@ def neigh_tri_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     the read-back content, so a vertex lost or garbled by the sink
     hash-mismatches. Restricted to the 25-clique so the driver-run query
     creates 25 directories, not |V|."""
-    import shutil
-    import tempfile
+    from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
 
     e = fixtures.edges_materialized(spark, sf_dir)
     nt = graph.neigh_tri(
@@ -272,12 +271,12 @@ def neigh_tri_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("neighbors"),
         F.array_join("tri_edges", " ").alias("tri_edges"),
     )
-    path = tempfile.mkdtemp(prefix="neigh_tri_sink_")
-    try:
+
+    def build(path: str) -> DataFrame:
         graph.neigh_tri_sink(sub, path)
         back = spark.read.parquet(path)
         return back.select(
             F.col("v").cast("bigint").alias("v"), "neighbors", "tri_edges"
-        ).localCheckpoint(eager=True)  # free the temp dir after the query
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+        )
+
+    return sink_roundtrip("neigh_tri_sink_", build)

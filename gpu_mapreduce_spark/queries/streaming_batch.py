@@ -191,16 +191,11 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_audit.py). The oracle aggregates the same week from the
     ORIGINAL table, so a row lost or duplicated by the partitioned write
     hash-mismatches."""
-    import shutil
-    import tempfile
+    from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
 
-    path = tempfile.mkdtemp(prefix="events_bydate_")
-    try:
-        return partitioned_week_counts(spark, sf_dir, path).localCheckpoint(
-            eager=True  # materialize before the temp dir is removed
-        )
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    return sink_roundtrip(
+        "events_bydate_", lambda path: partitioned_week_counts(spark, sf_dir, path)
+    )
 
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

@@ -54,13 +54,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
 
+    # Columns stored as TIMESTAMP(NANOS) surface as raw BIGINT nanos under
+    # the nanosAsLong guard — indistinguishable from a genuine bigint by
+    # Spark dtype alone, so identify them from the parquet footer (cheap
+    # local metadata read) and normalize exactly those. Without this, a
+    # nanos column in any table would silently hash-compare raw nanos
+    # against the oracle's real timestamps.
+    nanos_cols: set[str] = set()
+    if any(dtype == "bigint" for _, dtype in df.dtypes):
+        import pyarrow.parquet as pq
+
+        nanos_cols = {
+            f.name
+            for f in pq.read_schema(f"{sf_dir}/{name}.parquet")
+            if str(f.type) == "timestamp[ns]"
+        }
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-        elif col == "ts" and dtype == "bigint" and name == "events":
-            # legacy layout: TIMESTAMP(NANOS) surfaced as nanos via
-            # spark.sql.legacy.parquet.nanosAsLong
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dtype == "bigint" and col in nanos_cols:
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
 

@@ -62,6 +62,14 @@ def _plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _formatted_plan(spark, df) -> str:
+    """Formatted explain — the only mode that prints scan details
+    (PushedFilters / PartitionFilters / ReadSchema)."""
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_plan_is_scale_safe(spark, name):
     plan = _plan_of(_QUERIES[name].fn(spark, SF_DIR))
@@ -101,13 +109,17 @@ def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
     from gpu_mapreduce_spark.queries.streaming_batch import partitioned_week_counts
 
     df = partitioned_week_counts(spark, SF_DIR, str(tmp_path / "bydate"))
-    plan = spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    plan = _formatted_plan(spark, df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_date" in m.group(1), (
         f"week predicate not applied as a partition filter:\n{plan}"
     )
+    # the registered query checkpoints (its audited plan collapses to a
+    # Scan ExistingRDD), so run the forbidden-node audit on the REAL
+    # pre-checkpoint pipeline here
+    exec_plan = _plan_of(df)
+    for bad in ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"):
+        assert bad not in exec_plan, f"{bad} in pre-checkpoint plan:\n{exec_plan}"
 
 
 def test_q6_pushdown_and_pruning(spark):
@@ -116,11 +128,7 @@ def test_q6_pushdown_and_pruning(spark):
     pruned to exactly the 4 touched columns — a scan reading 11 columns for
     a 4-column query would be wrong at any scale."""
     df = _QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR)
-    # PushedFilters/ReadSchema print only in the formatted explain, not in
-    # executedPlan().toString()
-    plan = spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    plan = _formatted_plan(spark, df)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m, f"no PushedFilters in plan:\n{plan}"
     pushed = m.group(1)
