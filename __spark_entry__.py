@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gpu_mapreduce_spark.registry import load_all
+from gpu_mapreduce_spark.registry import driver_order, load_all
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
@@ -24,15 +24,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in load_all().items()}
+    """Registry queries, STALENESS-ordered (see registry.driver_order):
+    the driver checks only the first ~50 entries, so queries with no green
+    row in any committed CORRECTNESS_r*.json come first and the rest rotate
+    by how long ago they were last verified."""
+    reg = load_all()
+    return {name: reg[name].fn for name in driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """Oracle SQL per query; `{SF_DIR}` templates (used by oracles that read
-    files directly rather than the pre-registered views) are resolved to the
-    driver's sf0.01 correctness dir."""
+    """Oracle SQL per query (same staleness order as queries()); `{SF_DIR}`
+    templates (used by oracles that read files directly rather than the
+    pre-registered views) are resolved to the driver's sf0.01 correctness
+    dir."""
+    reg = load_all()
     return {
-        name: q.oracle.replace("{SF_DIR}", ORACLE_SF_DIR)
-        for name, q in load_all().items()
-        if q.oracle is not None
+        name: reg[name].oracle.replace("{SF_DIR}", ORACLE_SF_DIR)
+        for name in driver_order()
+        if reg[name].oracle is not None
     }

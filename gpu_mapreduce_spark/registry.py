@@ -79,3 +79,66 @@ def load_all() -> dict[str, QueryDef]:
 
         _loaded = True
     return QUERIES
+
+
+def _last_green_rounds(root: "Path") -> dict[str, int]:
+    """Last round each query had a fully-green row in a CORRECTNESS_r*.json.
+
+    A row counts as green only if every match flag present is true and err is
+    null — a failed or mismatched row keeps the query at the FRONT of the
+    driver window so the failure stays visible until fixed.
+    """
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match", True)
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and row.get("err") is None
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def driver_order(root: "Path | None" = None) -> list[str]:
+    """Registry names ordered for the driver's capped correctness window.
+
+    The round driver hash-checks only the FIRST ~50 entries of
+    ``__spark_entry__.queries()``. With 91 registered queries, a fixed
+    registration order leaves the tail permanently unverified (exactly what
+    happened in r03: positions 51-91 — the whole dedup/ANN/textstats/
+    multimodal/streaming/analytics/skew layer — never received a driver row).
+
+    Rotation schedule (documented in SURVEY §2.6): order by STALENESS —
+    queries never green in any committed CORRECTNESS_r*.json artifact first,
+    then ascending by the last round they were green, ties broken by
+    registration order. Self-maintaining: after each round's artifact is
+    committed, the next round's window automatically picks up whatever was
+    outside the previous window, so every query re-verifies at least every
+    ``ceil(total / window)`` rounds with no per-round hand edits.
+    """
+    from pathlib import Path
+
+    queries = load_all()
+    if root is None:
+        root = Path(__file__).resolve().parents[1]
+    last = _last_green_rounds(root)
+    reg_index = {n: i for i, n in enumerate(queries)}
+    return sorted(queries, key=lambda n: (last.get(n, 0), reg_index[n]))
