@@ -101,11 +101,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Headline "value" is only meaningful when EVERY bench query ran: a
+    # partial sum looks like a speedup next to a full one (a slow query that
+    # crashes would "improve" the total). With any error, value is null and
+    # consumers must read queries/errors; queries_ok/queries_total make the
+    # coverage explicit either way.
     payload: dict = {
         "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3),
+        "value": round(sum(times.values()), 3) if not errors else None,
         "unit": "sec",
         "queries": times,
+        "queries_ok": len(times),
+        "queries_total": len(queries),
         "sf": _sf_of(sf_dir),
     }
     if errors:

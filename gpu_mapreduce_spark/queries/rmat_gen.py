@@ -261,7 +261,9 @@ def _luby_oracle(k: int = _LUBY_STAGES, seed: int = _SEED) -> str:
     return "\n".join(parts)
 
 
-@register("luby_find", tags=("graph", "iterative"), oracle=_luby_oracle())
+@register(
+    "luby_find", tags=("graph", "iterative"), oracle=_luby_oracle(), bench=True
+)
 def luby_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIS members on the edges fixture (examples/in.luby pipeline).
     Deterministic given the seed (portable md5-derived priorities — the
