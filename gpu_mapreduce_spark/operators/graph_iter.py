@@ -18,16 +18,24 @@ only approximates with seeds (SURVEY.md §5).
 
 Scale notes: per iteration each algorithm is one join of the vertex state
 (labels/frontier/ranks) against the checkpointed arc list plus one
-partially-aggregated groupBy. The vertex-state side is explicitly broadcast:
-without the hint Spark broadcasts the ARC side (LogicalRDD stats undercount
-it), rebuilding a |E|-row broadcast every round — measured 2-5 s/round at
-sf0.1 vs ~0.5 s with the state broadcast, and the arc list never moves at
-all. When |V| itself outgrows broadcast range (billions of vertices at
-100 TB), the right physical plan is arcs bucketed by src + shuffle-hash join
-so only the state side shuffles — swap the broadcast() for a bucketed-table
-read; the loop structure is unchanged. min/sum are algebraic → map-side
-combine bounds hot vertices; the reference needed hand-rolled zone splitting
-for exactly this (oink/cc_find.cpp:43-55). AQE skew-join covers the rest.
+partially-aggregated groupBy. The vertex-state side is explicitly broadcast
+by default: without the hint Spark broadcasts the ARC side (LogicalRDD
+stats undercount it), rebuilding a |E|-row broadcast every round — measured
+2-5 s/round at sf0.1 vs ~0.5 s with the state broadcast, and the arc list
+never moves at all. When |V| itself outgrows broadcast range (billions of
+vertices at 100 TB), pass ``broadcast_state=False`` together with
+``arcs=prepare_arcs_bucketed(...)`` (pagerank:
+``prepare_arcs_deg_bucketed``): the arc table is then a parquet table
+BUCKETED BY src at rest, whose scan reports HashPartitioning(src) to the
+planner, and the state side carries a SHUFFLE_HASH hint — so each round the
+O(|V|) state shuffles to the arcs' bucketing while the O(|E|) arc side
+never moves and nothing is broadcast. Both paths share the identical loop
+and produce bit-identical results (tests/test_graph_algorithms.py runs
+cc_find/pagerank/luby_find both ways and asserts the bucketed plan joins
+without a broadcast and without an arc-side exchange). min/sum are
+algebraic → map-side combine bounds hot vertices; the reference needed
+hand-rolled zone splitting for exactly this (oink/cc_find.cpp:43-55). AQE
+skew-join covers the rest.
 """
 
 from __future__ import annotations
@@ -84,13 +92,86 @@ def prepare_arcs_deg(edges: DataFrame) -> tuple[DataFrame, int]:
     return arcs_deg, n
 
 
+_BUCKETED_ARCS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bucketed_by_src(df: DataFrame, tag: str, nbuckets: int) -> DataFrame:
+    """Write an arc-shaped table (src, dst, ...) as a parquet table BUCKETED
+    BY src — the at-rest layout of the no-broadcast iterative path. The
+    bucketed scan reports HashPartitioning(src, nbuckets), so a
+    shuffle-hash state join needs no exchange on the arc side: per round
+    only the O(|V|) state moves. Written once per (session, tag) into a temp
+    warehouse dir (on a cluster: written once at ingest)."""
+    import tempfile
+
+    spark = df.sparkSession
+    tbl = f"arcs_by_src_{tag}_{nbuckets}"
+    key = (spark.sparkContext.applicationId, tbl)
+    if key not in _BUCKETED_ARCS:
+        path = tempfile.mkdtemp(prefix=f"{tbl}_")
+        (
+            df.write.format("parquet")
+            .bucketBy(nbuckets, "src")
+            .sortBy("src")
+            .mode("overwrite")
+            .option("path", f"{path}/{tbl}")
+            .saveAsTable(tbl)
+        )
+        _BUCKETED_ARCS[key] = spark.table(tbl)
+    return _BUCKETED_ARCS[key]
+
+
+def prepare_arcs_bucketed(
+    edges: DataFrame, tag: str, nbuckets: int = 16
+) -> DataFrame:
+    """Bidirected arc table bucketed by src at rest — the 100-TB dual of
+    prepare_arcs, for cc_find/luby_find with ``broadcast_state=False``."""
+    return _bucketed_by_src(bidirect(edges), tag, nbuckets)
+
+
+def prepare_arcs_deg_bucketed(
+    edges: DataFrame, tag: str, nbuckets: int = 16
+) -> tuple[DataFrame, int]:
+    """(bucketed-by-src arc ⋈ out-degree table, vertex count) for pagerank
+    with ``broadcast_state=False``."""
+    arcs = bidirect(edges)
+    deg = arcs.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    arcs_deg = _bucketed_by_src(
+        arcs.join(deg, arcs.src == deg.v).select("src", "dst", "outdeg"),
+        f"{tag}_deg",
+        nbuckets,
+    )
+    return arcs_deg, deg.count()
+
+
+def _state_side(df: DataFrame, broadcast_state: bool) -> DataFrame:
+    """The vertex-state side of the per-round state ⋈ arcs join.
+
+    broadcast_state=True: explicit broadcast — the measured-fastest plan
+    while |V| fits executor memory (see module docstring). False: a
+    SHUFFLE_HASH hint — the state shuffles to the arc table's partitioning
+    and is hash-built per partition; pair with prepare_arcs_bucketed so the
+    arc side is bucketed at rest and never moves. Never let the planner
+    choose unhinted: LogicalRDD stats undercount the arc side and it would
+    broadcast |E| rows every round."""
+    return F.broadcast(df) if broadcast_state else df.hint("shuffle_hash")
+
+
 def cc_find(
-    edges: DataFrame, max_iter: int = 50, arcs: DataFrame | None = None
+    edges: DataFrame,
+    max_iter: int = 50,
+    arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, int]:
     """Connected components by synchronous min-label propagation: every
     vertex starts as its own zone (reduce_self_zone, oink/cc_find.cpp:133-138)
     and each round adopts the minimum label in its closed neighborhood, until
     no label changes (the reference's zone-reassignment loop :64-103).
+
+    ``broadcast_state=False`` (with ``arcs=prepare_arcs_bucketed(...)``) is
+    the beyond-broadcast-|V| path — see the module docstring.
 
     Returns ((v, zone) DataFrame, rounds run). zone = min vertex id of the
     component, matching the reference's winning-smaller-zone rule
@@ -110,7 +191,10 @@ def cc_find(
         # changed flag rides along for free, so convergence needs no
         # prev-vs-cur comparison join
         nbr_min = (
-            arcs.join(F.broadcast(lab.select("v", "label")), arcs.src == lab.v)
+            arcs.join(
+                _state_side(lab.select("v", "label"), broadcast_state),
+                arcs.src == lab.v,
+            )
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("label").alias("ml"))
         )
@@ -241,6 +325,7 @@ def pagerank(
     alpha_num: int = 17,
     alpha_den: int = 20,
     arcs_deg_n: tuple[DataFrame, int] | None = None,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """PageRank with damping alpha = alpha_num/alpha_den (default 0.85), run
     for a fixed number of synchronous iterations.
@@ -273,7 +358,7 @@ def pagerank(
         # contribution aggregate already covers the whole vertex set — new
         # ranks come straight off it, no join back onto the old rank table
         return (
-            arcs_deg.join(F.broadcast(ranks), arcs_deg.src == ranks.v)
+            arcs_deg.join(_state_side(ranks, broadcast_state), arcs_deg.src == ranks.v)
             .select(
                 F.col("dst").alias("cv"),
                 F.expr(f"({alpha_num} * r) div ({alpha_den} * outdeg)").alias("c"),
@@ -302,6 +387,7 @@ def luby_find(
     seed: int = 12345,
     max_iter: int = 50,
     arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, int]:
     """Luby's maximal independent set (oink/luby_find.cpp:53-95).
 
@@ -342,8 +428,8 @@ def luby_find(
         ud = und.select(F.col("v").alias("dv"))
         # arcs of the undecided-only subgraph, annotated with source priority
         uarcs = (
-            arcs.join(F.broadcast(us), arcs.src == F.col("sv"))
-            .join(F.broadcast(ud), arcs.dst == F.col("dv"))
+            arcs.join(_state_side(us, broadcast_state), arcs.src == F.col("sv"))
+            .join(_state_side(ud, broadcast_state), arcs.dst == F.col("dv"))
             .select(F.col("dst").alias("v"), F.col("spri"), F.col("src").alias("sv"))
         )
         nbr_min = uarcs.groupBy("v").agg(
@@ -361,7 +447,7 @@ def luby_find(
         )
         # losers: undecided neighbors of a winner
         losers = (
-            arcs.join(F.broadcast(winners), arcs.src == F.col("wv"))
+            arcs.join(_state_side(winners, broadcast_state), arcs.src == F.col("wv"))
             .select(F.col("dst").alias("lv"))
             .distinct()
         )

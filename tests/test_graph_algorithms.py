@@ -111,3 +111,70 @@ def test_neigh_tri_sink_one_dir_per_vertex(spark, tmp_path):
         F.col("v").cast("bigint").alias("v"), "neighbors", "tri_edges"
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nt.collect()))
+
+
+def _exchange_above_arcs(plan: str) -> bool:
+    """True if the formatted plan re-shuffles the bucketed arc scan — i.e.
+    an Exchange whose child subtree contains the bucketed parquet scan."""
+    import re
+
+    # formatted explain: operator tree first; bucketed scans print
+    # "Bucketed: true" in the scan details. We check the simple string
+    # property that matters: some Exchange keyed on src would appear as
+    # 'Exchange hashpartitioning(src'.
+    return bool(re.search(r"Exchange hashpartitioning\(src", plan))
+
+
+def test_cc_find_bucketed_shuffle_path_matches_broadcast(spark):
+    """The beyond-broadcast-|V| path (bucketed-by-src arcs + SHUFFLE_HASH
+    state join) must produce bit-identical components to the default
+    broadcast path, with no broadcast of state and no arc-side shuffle in
+    the per-round join."""
+    edges = fixtures.edges_materialized(spark, SF_DIR)
+    cc_b, rounds_b = graph_iter.cc_find(edges)
+    barcs = graph_iter.prepare_arcs_bucketed(edges, tag="testgraph")
+    cc_s, rounds_s = graph_iter.cc_find(
+        edges, arcs=barcs, broadcast_state=False
+    )
+    assert rounds_b == rounds_s
+    assert sorted(map(tuple, cc_b.collect())) == sorted(map(tuple, cc_s.collect()))
+    # plan shape of one round: shuffle-hash join, no broadcast join of the
+    # state, no exchange re-partitioning the bucketed arc side by src
+    labels = barcs.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    joined = (
+        barcs.join(labels.hint("shuffle_hash"), barcs.src == labels.v)
+        .groupBy(F.col("dst").alias("nv"))
+        .agg(F.min("label").alias("ml"))
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert not _exchange_above_arcs(plan), plan
+
+
+def test_pagerank_bucketed_shuffle_path_matches_broadcast(spark):
+    edges = fixtures.edges_materialized(spark, SF_DIR)
+    pr_b = graph_iter.pagerank(edges, num_iter=3).collect()
+    adn = graph_iter.prepare_arcs_deg_bucketed(edges, tag="testgraph")
+    pr_s = graph_iter.pagerank(
+        edges, num_iter=3, arcs_deg_n=adn, broadcast_state=False
+    ).collect()
+    assert sorted(map(tuple, pr_b)) == sorted(map(tuple, pr_s))
+
+
+def test_luby_bucketed_shuffle_path_matches_broadcast(spark):
+    edges = fixtures.edges_materialized(spark, SF_DIR)
+    mis_b, rounds_b = graph_iter.luby_find(edges)
+    barcs = graph_iter.prepare_arcs_bucketed(edges, tag="testgraph")
+    mis_s, rounds_s = graph_iter.luby_find(
+        edges, arcs=barcs, broadcast_state=False
+    )
+    assert rounds_b == rounds_s
+    assert sorted(r.v for r in mis_b.collect()) == sorted(
+        r.v for r in mis_s.collect()
+    )
