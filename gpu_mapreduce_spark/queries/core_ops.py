@@ -365,10 +365,16 @@ _CHUNK_SCRATCH = __import__("pathlib").Path(__file__).resolve().parents[2] / ".t
 
 def _chunk_file(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic multi-record text file derived from the documents
-    table: every document's text joined with the ';;' separator. Built once
-    per sf dir (atomic rename), then treated as pre-existing ingest input —
-    the reference's chunked files exist on disk before map() runs too."""
+    table: every document's text in doc_id order, ';;'-terminated. Built
+    once per sf dir (atomic rename), then treated as pre-existing ingest
+    input — the reference's chunked files exist on disk before map() runs.
+
+    Built with a DISTRIBUTED single-partition text write (range-partition to
+    one partition sorted by doc_id, writer lineSep=';;'), never a driver-side
+    collect: at scale the fixture would be written to shared storage the same
+    way, and the driver heap never holds the corpus."""
     import os
+    import shutil
 
     out = _CHUNK_SCRATCH / sf_dir.strip("/").replace("/", "_") / "chunks.txt"
     src = f"{sf_dir}/documents.parquet"
@@ -378,31 +384,41 @@ def _chunk_file(spark: SparkSession, sf_dir: str) -> str:
     if stale or not out.exists():
         from gpu_mapreduce_spark.sources.tables import table
 
-        rows = (
+        out.parent.mkdir(parents=True, exist_ok=True)
+        stage = str(out) + ".stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        (
             table(spark, sf_dir, "documents")
             .select("doc_id", "text")
-            .orderBy("doc_id")
-            .collect()
+            .repartitionByRange(1, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .select("text")
+            .write.mode("overwrite")
+            .option("lineSep", _CHUNK_SEP)
+            .text(stage)
         )
-        out.parent.mkdir(parents=True, exist_ok=True)
-        tmp = out.with_suffix(".txt.tmp")
-        tmp.write_text(_CHUNK_SEP.join(r.text for r in rows))
-        os.replace(tmp, out)
+        part = next(
+            p for p in sorted(os.listdir(stage)) if p.startswith("part-")
+        )
+        os.replace(os.path.join(stage, part), out)
+        shutil.rmtree(stage, ignore_errors=True)
     return str(out)
 
 
 @register(
     "file_chunk_wordfreq",
     tags=("core", "sources", "text"),
-    oracle=rf"""
-        WITH recs AS (
-            SELECT unnest(string_split(content, '{_CHUNK_SEP}')) AS line
-            FROM read_text('{_CHUNK_SCRATCH}/' ||
-                           replace(trim('{{SF_DIR}}', '/'), '/', '_') ||
-                           '/chunks.txt')
-        ),
-        w AS (
-            SELECT unnest(regexp_split_to_array(line, '\s+')) AS word FROM recs
+    # The oracle derives records DIRECTLY from documents.parquet (the
+    # fixture's source of truth), never from the Spark-written scratch file:
+    # it has no run-order dependency on the Spark side, and the gate becomes
+    # end-to-end — join -> lineSep write -> chunked read -> split must
+    # reproduce the original records exactly or word counts diverge.
+    # Precondition (verified on every sf fixture): no document text contains
+    # the ';;' separator or a newline.
+    oracle=r"""
+        WITH w AS (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+            FROM read_parquet('{SF_DIR}/documents.parquet')
         )
         SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word
     """,
