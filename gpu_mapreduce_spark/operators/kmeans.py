@@ -20,8 +20,11 @@ units (floor(x * 10000) — functions/numeric.py discipline), so distances
 are exact BIGINT arithmetic; nearest-centroid ties break toward the lower
 centroid id via score packing (dist * 16 + ck, k <= 16); init picks the k
 points with the smallest portable md5 hash (functions/portable.py), and
-centroid updates floor an exact-sum mean. Every step replays bit-identical
-in the DuckDB oracle (queries/similarity.py builds the CTE chain).
+centroid updates compute floor(sum::double / n) — the BIGINT sum is exact,
+the division rounds in IEEE double, and BOTH engines share that identical
+rounding, which is all the hash gate needs (bit-exactness of the mean
+beyond 2^53 is not claimed). Every step replays bit-identical in the
+DuckDB oracle (queries/similarity.py builds the CTE chain).
 
 Empty clusters (no points assigned in an iteration) are DROPPED, not
 re-seeded — both engines derive assignments from identical state, so the

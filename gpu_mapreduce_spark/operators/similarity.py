@@ -285,11 +285,35 @@ def ivf_topk(
     )
 
 
-def dup_pairs(embeddings: DataFrame, threshold_e6: int = 400_000) -> DataFrame:
+DUP_PAIRS_MAX_ROWS = 100_000  # hard cap on the quadratic baseline
+
+
+def dup_pairs(
+    embeddings: DataFrame,
+    threshold_e6: int = 400_000,
+    max_rows: int | None = DUP_PAIRS_MAX_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact: all (a < b) with
     sim_e6 >= threshold_e6. One corpus self-join with the right side
     broadcast — the O(n^2) correctness baseline the LSH variant is measured
-    against (use dup_pairs_lsh beyond ~10^5 vectors)."""
+    against.
+
+    GUARDED against accidental use at scale: counts the corpus up front and
+    raises above ``max_rows`` (one cheap count-aggregate job — nothing next
+    to the quadratic scan it prevents). This operator is a recall baseline,
+    not a scale path; beyond the cap use :func:`dup_pairs_lsh`, whose
+    candidate generation is an equi-join on signature bands. Pass
+    ``max_rows=None`` only where the quadratic cost is the point (tests,
+    recall measurement on a sampled corpus)."""
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"dup_pairs is the O(n^2) exact baseline: corpus has {n:,}"
+                f" rows > max_rows={max_rows:,}; use dup_pairs_lsh (banded"
+                " candidates) at this scale, or pass max_rows=None if the"
+                " quadratic scan is intentional"
+            )
     left = embeddings.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
     )

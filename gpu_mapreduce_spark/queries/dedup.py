@@ -226,6 +226,17 @@ def _cluster_oracle() -> str:
     return "\n".join(parts)
 
 
+# Accepted residual oracle risk (documented, not fixed): the Spark side
+# clusters LSH-derived candidate pairs while the oracle clusters EXACT
+# all-pairs Jaccard >= 0.8 edges. Per-pair banding recall at J = 0.8 is
+# 1 - (1 - 0.8^5)^24 ≈ 1 - 1.2e-7; one missed edge would split a component
+# and mismatch csize + members_digest — deterministically per dataset, so a
+# new sf fixture could surface it. We keep the exact oracle on purpose: it
+# is the STRONGER statement (the banded pipeline reconstructs the true
+# transitive closure), and a recall miss should fail loudly rather than be
+# replayed into the oracle the way dedup_simhash's pigeonhole bands are
+# (there the banding is provably complete for dist <= 3, so replay loses
+# nothing; here replay would hide real recall loss).
 @register(
     "dedup_clusters",
     tags=("llm", "dedup", "graph"),

@@ -62,12 +62,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # against the oracle's real timestamps.
     nanos_cols: set[str] = set()
     if any(dtype == "bigint" for _, dtype in df.dtypes):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # type-level check, not str(f.type) == 'timestamp[ns]': a tz-aware
+        # timestamp[ns, tz=UTC] column is also surfaced as bigint by
+        # nanosAsLong and must be normalized the same way (its stored int64
+        # is epoch-UTC nanos, exactly what timestamp_micros expects)
         nanos_cols = {
             f.name
             for f in pq.read_schema(f"{sf_dir}/{name}.parquet")
-            if str(f.type) == "timestamp[ns]"
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         }
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":

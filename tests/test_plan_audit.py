@@ -40,6 +40,8 @@ _QUERIES = load_all()
 ALLOWED_BNLJ = {
     "ann_bruteforce_topk": "corpus x broadcast 8-row query set (exact baseline)",
     "ann_ivf_topk": "corpus x broadcast centroid table (cell assignment)",
+    # guarded: dup_pairs refuses corpora above DUP_PAIRS_MAX_ROWS (see
+    # operators/similarity.py + tests/test_similarity.py guard test)
     "dedup_embedding": "O(n^2) exact near-dup baseline for dedup_embedding_lsh",
 }
 

@@ -77,3 +77,19 @@ def test_embedding_dup_pairs_lsh_sound_and_recall(spark):
         assert exact[pair] == sim
     # recall: banding misses are possible but rare (measured 1.0)
     assert len(approx) / len(exact) >= 0.9
+
+
+def test_dup_pairs_guard_refuses_large_corpus(spark):
+    """dup_pairs is the declared O(n^2) baseline: it must refuse a corpus
+    above its row cap (pointing at dup_pairs_lsh) BEFORE launching the
+    quadratic join, and still run when the cap is lifted explicitly."""
+    import pytest
+
+    emb = table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="dup_pairs_lsh"):
+        similarity.dup_pairs(emb, max_rows=10).collect()
+    # explicit opt-out still works (sampled-recall / test use)
+    small = emb.filter(F.col("vec_id") < 50)
+    assert similarity.dup_pairs(small, max_rows=None).count() >= 0
+    # default cap admits the fixture corpora
+    assert similarity.DUP_PAIRS_MAX_ROWS >= emb.count()
