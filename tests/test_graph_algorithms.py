@@ -178,3 +178,40 @@ def test_luby_bucketed_shuffle_path_matches_broadcast(spark):
     assert sorted(r.v for r in mis_b.collect()) == sorted(
         r.v for r in mis_s.collect()
     )
+
+
+def test_neighbor_grouped_iterator_escape_matches(spark):
+    """SCALE.md 'known caps': neighbor()'s collect_list needs each vertex's
+    adjacency to fit one aggregation buffer; for celebrity vertices the
+    documented escape is the grouped-iterator form (core.group_apply, the
+    reference's multi-block KMV streaming analog). Prove the two forms are
+    row-identical on a hub-skewed graph (hub adjacent to every vertex)."""
+    import pandas as pd
+
+    from gpu_mapreduce_spark.operators import core
+    from gpu_mapreduce_spark.operators.graph import bidirect, neighbor
+
+    hub_edges = spark.range(1, 400).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    ).union(
+        spark.range(1, 100).select(
+            F.col("id").alias("src"), (F.col("id") + 100).alias("dst")
+        )
+    )
+    base = neighbor(hub_edges).collect()
+
+    def adj(pdf: pd.DataFrame) -> pd.DataFrame:
+        # iterator-friendly shape: sorts one group's dsts; at true celebrity
+        # scale this is the place a spill-capable external sort would live
+        return pd.DataFrame(
+            {"v": [pdf["src"].iloc[0]], "neighbors": [sorted(pdf["dst"])]}
+        )
+
+    escaped = core.group_apply(
+        bidirect(hub_edges).select("src", "dst"),
+        "src",
+        adj,
+        "v bigint, neighbors array<bigint>",
+    ).collect()
+    key = lambda r: r.v  # noqa: E731
+    assert sorted(base, key=key) == sorted(escaped, key=key)
