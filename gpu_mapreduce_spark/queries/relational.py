@@ -283,3 +283,247 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
     )
+
+
+_Q4_START, _Q4_END = "1996-01-01", "1996-07-01"
+
+
+@register(
+    "q4_priority_late",
+    tags=("relational", "semijoin"),
+    oracle=f"""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{_Q4_START} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{_Q4_END} 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts over orders with at least one
+    late-shipped lineitem. The EXISTS subquery is expressed directly as a
+    LEFT SEMI join (what Catalyst decorrelates EXISTS into): equi-key on
+    orderkey plus the non-equi lateness predicate riding the same join, so
+    each order is emitted at most once however many lineitems are late —
+    no distinct, no row explosion. Scale: fact⋈fact semi join shuffles on
+    orderkey (the bucketable axis); the date filter pushes to the orders
+    scan and prunes before the shuffle."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q14_START, _Q14_END = "1997-03-01", "1997-04-01"
+_Q14_REV = "l.l_extendedprice * (1 - l.l_discount)"
+
+
+@register(
+    "q14_promo_revenue",
+    tags=("relational", "join"),
+    oracle=f"""
+        SELECT {sql_dsum(f"CASE WHEN p.p_type = 'PROMO' THEN {_Q14_REV} ELSE 0 END")}
+                   AS promo_revenue,
+               {sql_dsum(_Q14_REV)} AS total_revenue,
+               100.0 * {sql_dsum(f"CASE WHEN p.p_type = 'PROMO' THEN {_Q14_REV} ELSE 0 END")}
+                     / {sql_dsum(_Q14_REV)} AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{_Q14_START} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q14_END} 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one ship-month's revenue from PROMO-type
+    parts. part is a bounded dim → explicit broadcast, so the lineitem scan
+    (ship-month filter pushed down) never shuffles; the conditional
+    aggregation is two map-side-combinable fixed-point sums, and the final
+    percentage is one deterministic double division of exact sums (both
+    engines evaluate the identical 100.0 * promo / total)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        dsum(promo).alias("promo_revenue"),
+        dsum(rev).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+_Q18_QTY = 150
+
+
+@register(
+    "q18_large_orders",
+    tags=("relational", "join", "having"),
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {sql_dsum('l_quantity')} > {_Q18_QTY}
+        )
+        SELECT c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY b.sum_qty DESC, o.o_orderkey
+        LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — HAVING on an aggregate, then
+    join the survivors back to their order/customer rows. The quantity
+    aggregate runs FIRST and its filter cuts the fact table to the handful
+    of big orders before any join, so the join-back input is tiny (AQE
+    broadcasts it at runtime); top-20 is TakeOrderedAndProject with a total
+    order (sum_qty desc, orderkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    tags=("relational", "antijoin", "distinct"),
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        ok AS (
+            SELECT ps.l_partkey, ps.l_suppkey FROM ps
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = ps.l_suppkey
+                                AND s.s_acctbal < 0)
+        )
+        SELECT p.p_brand, p.p_type,
+               CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, p.p_type
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each (brand,
+    type), excluding blacklisted suppliers (negative acctbal here — the
+    fixture's analog of Q16's complaints filter). The part-supplier
+    relation is DERIVED from lineitem by distinct projection (the fixture
+    has no partsupp table); exclusion is a LEFT ANTI join against the
+    filtered supplier dim (broadcast — bounded), then a two-level distinct
+    aggregation. Scale: the distinct projection partial-aggregates
+    map-side; count(distinct) rewrites to a two-stage expand+agg on
+    (brand, type, suppkey) — no row ever carries more than the pair."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ok = ps.join(
+        F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return (
+        ok.join(F.broadcast(p), ok.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+_Q10_START, _Q10_END = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q10_returned_revenue",
+    tags=("relational", "join"),
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '{_Q10_START} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{_Q10_END} 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter. Join order keeps the big-big join on the orderkey axis
+    (returnflag + date filters pushed to both scans first); nation is an
+    explicit broadcast, customer rides the AQE size guard like q5. Top-20
+    with a total order (revenue desc — exact fixed-point, so ties are
+    impossible to misorder — then custkey)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ol = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_custkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        ol.join(c, ol.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("rev")).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
