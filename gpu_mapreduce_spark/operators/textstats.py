@@ -123,3 +123,58 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed text — the exact-dedup key."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+def _ngrams(t: Column, n: int) -> Column:
+    """Word n-grams of a token array as strings (empty array below n tokens).
+
+    Guarded sequence: Spark's sequence(start, stop) DESCENDS when
+    stop < start, so the short-doc case must short-circuit to an empty
+    array rather than rely on an empty sequence."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate word-n-gram
+    fractions (1 - distinct/total for n = 2, 3) and the most-frequent-token
+    mass fraction, plus a keep flag at the published-style thresholds —
+    the repetition family of quality filters (the counterpart of
+    quality_score's length/stopword family).
+
+    Cost model: n-gram fractions are linear in doc tokens (array build +
+    distinct); top_token_frac is O(uniq x tokens) per doc — fine under the
+    pipeline's length cap (quality_score keeps <= 10k tokens), and per-doc
+    work never shuffles: the whole operator is one scan-shaped projection."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+
+    def dup_frac(n: int) -> Column:
+        g = _ngrams(t, n)
+        return F.when(F.size(g) > 0,
+                      1.0 - F.size(F.array_distinct(g)) / F.size(g).cast("double")
+                      ).otherwise(F.lit(0.0))
+
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    top_frac = F.when(n_tok > 0, top_cnt / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    dup2, dup3 = dup_frac(2), dup_frac(3)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        dup2.alias("dup_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
+        top_frac.alias("top_token_frac"),
+        ((dup2 <= 0.2) & (dup3 <= 0.15) & (top_frac <= 0.3)).alias("rep_keep"),
+    )

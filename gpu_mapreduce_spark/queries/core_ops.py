@@ -514,3 +514,84 @@ def scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def histo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.histo(fixtures.kvpairs(spark, sf_dir))
+
+
+def _orders_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as a directory of CSV part files — the ingest fixture for the
+    typed-CSV source query, written DISTRIBUTED (one part per input
+    partition; on a cluster this is the landing-zone layout CSV actually
+    arrives in). Rebuilt when the source parquet is newer (stale-driver
+    guard, same contract as _chunk_file)."""
+    import os
+
+    from gpu_mapreduce_spark.sources.tables import table
+
+    out = _CHUNK_SCRATCH / sf_dir.strip("/").replace("/", "_") / "orders_csv"
+    marker = out / "_SUCCESS"
+    src = f"{sf_dir}/orders.parquet"
+    if not marker.exists() or marker.stat().st_mtime < os.path.getmtime(src):
+        (
+            table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                    "o_orderdate"
+                ),
+            )
+            .write.mode("overwrite")
+            .option("header", "false")
+            .csv(str(out))
+        )
+    return str(out)
+
+
+@register(
+    "csv_source_revenue",
+    tags=("sources", "relational"),
+    # oracle reads the parquet source of truth, never the Spark-written CSV:
+    # no run-order dependency, and the gate is end-to-end — distributed CSV
+    # write -> schema-declared typed read -> aggregate must reproduce the
+    # parquet numbers exactly (a torn row, type coercion drift, or a lossy
+    # double round-trip all hash-mismatch).
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               (CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS DOUBLE)
+                / 10000) AS sum_price,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def csv_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV ingest: read the CSV landing dir with a DECLARED schema —
+    never inferSchema, whose discovery pass would double the read at scale
+    (and is mechanically absent here: one can assert the query plans a
+    single FileScan csv). Doubles survive the text round-trip exactly
+    (shortest-round-trip repr), timestamps via an explicit format. The
+    reference's only ingest is raw text/binary splitting
+    (src/mapreduce.cpp:1232-1558); typed columnar-from-text is the Spark
+    counterpart for the same landing-zone role."""
+    path = _orders_csv(spark, sf_dir)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 10000).cast("bigint")).cast(
+                "double"
+            )
+            / 10000
+        ).alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

@@ -225,3 +225,53 @@ def textstats_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_tokens"),
         F.max("n").alias("max_tokens"),
     )
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB mirror of operators/textstats._ngrams (1-based list indexing,
+    range(a,b) = [a, b))."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+def _sql_dup_frac(n: int) -> str:
+    g = _sql_ngrams(n)
+    return (
+        f"CASE WHEN len({g}) > 0 THEN "
+        f"1.0 - CAST(len(list_distinct({g})) AS BIGINT) / CAST(len({g}) AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+
+
+_SQL_TOP_FRAC = """
+    CASE WHEN len(toks) > 0 THEN
+        CAST(list_max(list_transform(list_distinct(toks),
+             x -> len(list_filter(toks, y -> y = x)))) AS BIGINT)
+        / CAST(len(toks) AS DOUBLE)
+    ELSE 0.0 END
+"""
+
+
+@register(
+    "textstats_repetition",
+    tags=("llm", "textstats"),
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               {_sql_dup_frac(2)} AS dup_bigram_frac,
+               {_sql_dup_frac(3)} AS dup_trigram_frac,
+               {_SQL_TOP_FRAC} AS top_token_frac,
+               ({_sql_dup_frac(2)} <= 0.2 AND {_sql_dup_frac(3)} <= 0.15
+                AND {_SQL_TOP_FRAC} <= 0.3) AS rep_keep
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    """,
+)
+def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (operators/textstats.
+    repetition_stats): duplicate bigram/trigram fractions + top-token mass,
+    scan-shaped codegen list expressions, zero Python on the row path."""
+    return ts.repetition_stats(_wide(table(spark, sf_dir, "documents")))
