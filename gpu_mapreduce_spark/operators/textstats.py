@@ -140,6 +140,81 @@ def _ngrams(t: Column, n: int) -> Column:
     )
 
 
+# PII patterns, written to the COMMON subset of Java regex (Spark) and RE2
+# (DuckDB): literal classes, bounded repeats, \b word boundaries — no
+# lookaround, no backrefs (RE2 has neither), so both engines match the same
+# spans. The phone/IP shapes are deliberately narrow (the fixture's injected
+# forms), standing in for the full pattern library of a production scrubber.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII detection + redaction — the scrub step every training
+    corpus passes through before the tokenizer. Pure codegen string
+    expressions (regexp_extract_all / regexp_replace), zero Python.
+
+    Redaction order is FIXED (email -> ip -> phone) and the replacement
+    tokens contain no digits/'@', so a later pattern can never match text a
+    prior replacement produced; the oracle replays the identical order.
+    Output carries md5 of the redacted text (not the text itself) so the
+    row stays narrow however large the document is."""
+    txt = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(txt, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(txt, F.lit(PII_PHONE_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(txt, F.lit(PII_IP_RE), 0))
+    red = F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("any_pii"),
+        F.md5(red.cast("binary")).alias("redacted_fp"),
+    )
+
+
+def contamination(
+    corpus: DataFrame, bench_mod: int = 97, n: int = 5
+) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents sharing any word
+    n-gram with a held-out benchmark set (docs with original id divisible by
+    `bench_mod`; the `< 1_000_000` guard keeps the fixture's injected
+    dup-copies — ids offset by 1e6/2e6 — on the corpus side only).
+
+    The decontamination shape used on web-scale corpora: the benchmark gram
+    set is BOUNDED (eval suites are tiny relative to the corpus), so it
+    broadcasts and the corpus side never shuffles — one scan to explode
+    per-doc distinct grams, one broadcast-hash semi-ish join, one doc-keyed
+    count. Per-doc `array_distinct` keeps the join input at distinct grams,
+    so n_contam counts distinct overlapping grams."""
+    t = tokens(F.col("text"))
+    grams = corpus.select(
+        "doc_id", F.explode(F.array_distinct(_ngrams(t, n))).alias("g")
+    )
+    bench = (
+        grams.filter(
+            ((F.col("doc_id") % bench_mod) == 0) & (F.col("doc_id") < 1_000_000)
+        )
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_contam"))
+    )
+    n_c = F.coalesce(F.col("n_contam"), F.lit(0)).cast("int")
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id", n_c.alias("n_contam"), (n_c > 0).alias("contaminated"))
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document: duplicate word-n-gram
     fractions (1 - distinct/total for n = 2, 3) and the most-frequent-token

@@ -527,3 +527,400 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+_Q12_HIGH = "('1-URGENT', '2-HIGH')"
+_Q12_START, _Q12_END = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q12_priority_lines",
+    tags=("relational", "join", "conditional-agg"),
+    oracle=f"""
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN {_Q12_HIGH}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN {_Q12_HIGH}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag IN ('A', 'R')
+          AND l.l_shipdate >= TIMESTAMP '{_Q12_START} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q12_END} 00:00:00'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode folded to returnflag — the fixture carries
+    no l_shipmode): per-flag counts of high- vs low-priority order lines in
+    a ship-year, i.e. a join whose AGGREGATE is conditional on the OTHER
+    side's column. Both CASE sums partial-aggregate map-side after the one
+    orderkey-axis join; lineitem's flag+date filters prune before the
+    shuffle, orders reads only (orderkey, orderpriority)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit(_Q12_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_END).cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q13_order_distribution",
+    tags=("relational", "outerjoin"),
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. The LEFT OUTER
+    join (filter riding the join PREDICATE, not a WHERE — customers whose
+    every order is filtered out must still appear with c_count = 0) feeds
+    COUNT(o_orderkey), which counts only matched rows; then a second,
+    tiny aggregation histograms the counts. The reference's tag-dispatch
+    join idiom cannot express this preserved-row semantics (same class as
+    customers_no_orders). Scale: one custkey-axis shuffle join + two
+    partial aggs; the histogram keyspace is O(max orders/customer)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q15_START, _Q15_END = "1996-01-01", "1996-04-01"
+
+
+@register(
+    "q15_top_supplier",
+    tags=("relational", "scalar-subquery"),
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{_Q15_START} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{_Q15_END} 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an aggregate compared against a scalar aggregate OVER THE SAME derived
+    table. The scalar side is joined back via a literal-key broadcast
+    equi-join (1-row build side, BroadcastHashJoin — NOT a nested-loop
+    cross join, and NOT an unpartitioned window over all suppliers), so
+    the plan audit's global-Window/BNLJ bans hold. Revenue is fixed-point
+    exact, so the equality join is deterministic on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev")).withColumn(
+        "_k", F.lit(1)
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn("_k", F.lit(1))
+        .join(F.broadcast(mx), "_k")
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_BRAND, _Q17_TYPE = "Brand#3", "SMALL"
+
+
+@register(
+    "q17_small_qty_revenue",
+    tags=("relational", "correlated-agg"),
+    oracle=f"""
+        WITH pl AS (
+            SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = '{_Q17_BRAND}' AND p.p_type = '{_Q17_TYPE}'
+        ),
+        avgq AS (
+            SELECT l_partkey, 0.2 * {sql_davg('l_quantity')} AS qty_cut
+            FROM pl GROUP BY l_partkey
+        )
+        SELECT {sql_dsum('pl.l_extendedprice')} / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small_lines
+        FROM pl JOIN avgq ON pl.l_partkey = avgq.l_partkey
+        WHERE pl.l_quantity < avgq.qty_cut
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from order lines whose quantity is below
+    20% of the PER-PART average — a correlated scalar aggregate,
+    decorrelated the way Catalyst does it: compute the per-part threshold
+    as a grouped aggregate, join it back on partkey, filter, aggregate.
+    The brand/type filter cuts lineitem via a broadcast semi-shaped join
+    FIRST, so both the threshold agg and the join-back run on the small
+    filtered slice; the threshold (0.2 x exact-avg) is the identical IEEE
+    expression on both engines."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == _Q17_BRAND) & (F.col("p_type") == _Q17_TYPE))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pl = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = pl.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_cut")
+    )
+    return (
+        pl.join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+_Q19_BANDS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#15", 1, 15, 20, 30),
+)
+
+
+@register(
+    "q19_disjunctive_revenue",
+    tags=("relational", "join", "pushdown"),
+    oracle=f"""
+        SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE {' OR '.join(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s1} AND {s2}"
+            f" AND l.l_quantity BETWEEN {q1} AND {q2})"
+            for b, s1, s2, q1, q2 in _Q19_BANDS
+        )}
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate mixing columns from BOTH
+    join sides — the disjunction cannot push down as-is, so the scale move
+    is to push its BOUNDING BOX manually: part pre-filters to the brand
+    set + max size band, lineitem to the overall quantity envelope, and
+    the exact disjunction evaluates once on the (broadcast) joined rows.
+    At 100x the data the scans shrink by the envelope selectivity before
+    a single row moves."""
+    brands = [b for b, *_ in _Q19_BANDS]
+    max_size = max(s2 for _, _, s2, _, _ in _Q19_BANDS)
+    qmin = min(q1 for *_, q1, _ in _Q19_BANDS)
+    qmax = max(q2 for *_, q2 in _Q19_BANDS)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(brands) & (F.col("p_size") <= max_size) & (F.col("p_size") >= 1))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= qmin) & (F.col("l_quantity") <= qmax)
+    )
+    disj = None
+    for b, s1, s2, q1, q2 in _Q19_BANDS:
+        band = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s1, s2)
+            & F.col("l_quantity").between(q1, q2)
+        )
+        disj = band if disj is None else (disj | band)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(disj)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q21_LATE_DAYS = 60
+
+
+@register(
+    "q21_waiting_supplier",
+    tags=("relational", "semijoin", "antijoin"),
+    oracle=f"""
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finalized orders (lateness = shipped > {_Q21_LATE_DAYS}
+    days after the order date — the fixture's stand-in for
+    receiptdate > commitdate). The correlated EXISTS / NOT EXISTS pair
+    becomes a LEFT SEMI then LEFT ANTI self-join on the SAME orderkey
+    axis with the suppkey inequality riding each join — three shuffles
+    total, all on orderkey, no distinct, no row explosion; supplier is a
+    broadcast dim."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1, l2, l3 = late.alias("l1"), li.alias("l2"), late.alias("l3")
+    sole = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .alias("l1")
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+_Q22_NATIONS = (1, 2, 3, 4, 5, 6, 7)
+_Q22_CUTOFF = "1998-01-01"
+
+
+@register(
+    "q22_idle_customers",
+    tags=("relational", "antijoin", "scalar-subquery"),
+    oracle=f"""
+        WITH pos AS (
+            SELECT {sql_davg('c_acctbal')} AS avg_bal
+            FROM customer
+            WHERE c_acctbal > 0.0
+              AND c_nationkey IN {_Q22_NATIONS}
+        )
+        SELECT c.c_nationkey AS cntry,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               {sql_dsum('c.c_acctbal')} AS totacctbal
+        FROM customer c, pos
+        WHERE c.c_nationkey IN {_Q22_NATIONS}
+          AND c.c_acctbal > pos.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers (balance above the positive-
+    balance average of their nation group) with no recent orders. Composes
+    the two subquery classes in one query: a scalar aggregate subquery
+    (literal-key broadcast join of the 1-row average, as q15) and a
+    filtered NOT EXISTS (LEFT ANTI join against date-pruned orders — the
+    date filter pushes to the orders SCAN, so the anti join's build input
+    shrinks before it ships)."""
+    nats = list(_Q22_NATIONS)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nats))
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal")).alias("avg_bal"))
+        .withColumn("_k", F.lit(1))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        c.withColumn("_k", F.lit(1))
+        .join(F.broadcast(pos), "_k")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

@@ -275,3 +275,64 @@ def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition_stats): duplicate bigram/trigram fractions + top-token mass,
     scan-shaped codegen list expressions, zero Python on the row path."""
     return ts.repetition_stats(_wide(table(spark, sf_dir, "documents")))
+
+
+_PII_CNT = "CAST(len(regexp_extract_all(text, '{p}')) AS INT)"
+
+
+@register(
+    "pii_redact",
+    tags=("llm", "textstats", "pii"),
+    oracle=f"""
+        {fixtures.duckdb_with('pii_corpus')}
+        SELECT doc_id,
+               {_PII_CNT.format(p=ts.PII_EMAIL_RE)} AS n_emails,
+               {_PII_CNT.format(p=ts.PII_PHONE_RE)} AS n_phones,
+               {_PII_CNT.format(p=ts.PII_IP_RE)} AS n_ips,
+               ({_PII_CNT.format(p=ts.PII_EMAIL_RE)}
+                + {_PII_CNT.format(p=ts.PII_PHONE_RE)}
+                + {_PII_CNT.format(p=ts.PII_IP_RE)}) > 0 AS any_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{ts.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{ts.PII_IP_RE}', '<IP>', 'g'),
+                   '{ts.PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+        FROM pii_corpus
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the pii_corpus fixture (known injected positives):
+    detect + count emails/phones/IPs and fingerprint the redacted text.
+    The patterns live in the common Java-regex/RE2 subset and the redaction
+    order is fixed (operators/textstats.pii_stats), so both engines produce
+    byte-identical redacted documents — md5-proven per row."""
+    return ts.pii_stats(_wide(fixtures.pii_corpus(spark, sf_dir)))
+
+
+@register(
+    "contamination_ngrams",
+    tags=("llm", "textstats", "dedup"),
+    oracle=f"""
+        {fixtures.duckdb_with('corpus')},
+        tok AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+        grams AS (SELECT doc_id, unnest(list_distinct({_sql_ngrams(5)})) AS g
+                  FROM tok),
+        bench AS (SELECT DISTINCT g FROM grams
+                  WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+        hits AS (SELECT g.doc_id, CAST(COUNT(*) AS INT) AS n_contam
+                 FROM grams g JOIN bench b ON g.g = b.g
+                 GROUP BY g.doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(h.n_contam, 0) AS INT) AS n_contam,
+               COALESCE(h.n_contam, 0) > 0 AS contaminated
+        FROM tok t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the dup-injected corpus: benchmark =
+    original docs with doc_id % 97 == 0; a doc is contaminated when it
+    shares any word 5-gram with the benchmark — which catches the injected
+    exact AND near duplicates of benchmark docs, exactly the leakage the
+    check exists for. Scale shape in operators/textstats.contamination:
+    bounded benchmark gram set broadcast, corpus side one scan, no
+    all-pairs anything."""
+    return ts.contamination(_wide(fixtures.corpus(spark, sf_dir)))

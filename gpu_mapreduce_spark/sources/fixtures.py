@@ -122,6 +122,28 @@ DUCKDB_FIXTURE_SQL: dict[str, str] = {
         SELECT doc_id + 2000000 AS doc_id, text || ' near dup tail' AS text
         FROM documents WHERE doc_id % 7 = 0
     """,
+    # PII-injected corpus: the base documents are synthetic word salad with
+    # no PII-shaped substrings, so known positives are appended
+    # deterministically (email on every 3rd doc, phone on every 4th, IPv4 on
+    # every 10th) — the pii_redact operator has exact expected counts at
+    # every scale factor
+    "pii_corpus": """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' today'
+                       ELSE '' END
+               || CASE WHEN doc_id % 10 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+                       ELSE '' END AS text
+        FROM documents
+    """,
 }
 
 # Interpolate the shared constants so both engines derive from one definition
@@ -332,6 +354,38 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").unionAll(exact).unionAll(near)
 
 
+def pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" today"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 10 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            (did % 100).cast("string"),
+            F.lit(" logged"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
 def wedges_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges(spark, sf_dir)
     return e.select(
@@ -352,4 +406,5 @@ SPARK_FIXTURES = {
     "wedges": wedges,
     "wedges_u": wedges_u,
     "corpus": corpus,
+    "pii_corpus": pii_corpus,
 }

@@ -1,0 +1,47 @@
+"""Known-positive checks for the PII-scrub and contamination operators —
+the fixture injects PII / benchmark leakage deterministically, so the
+expected hits are exact arithmetic on doc_id (not just oracle agreement,
+which tests/test_parity.py already covers)."""
+
+from __future__ import annotations
+
+from gpu_mapreduce_spark.operators import textstats as ts
+from gpu_mapreduce_spark.sources import fixtures
+from tests.conftest import SF_DIR
+
+
+def test_pii_counts_match_injection_schedule(spark):
+    rows = ts.pii_stats(fixtures.pii_corpus(spark, SF_DIR)).collect()
+    assert rows, "empty pii corpus"
+    for r in rows:
+        did = r["doc_id"]
+        assert r["n_emails"] == (1 if did % 3 == 0 else 0), r
+        assert r["n_phones"] == (1 if did % 4 == 0 else 0), r
+        assert r["n_ips"] == (1 if did % 10 == 0 else 0), r
+        assert r["any_pii"] == (did % 3 == 0 or did % 4 == 0 or did % 10 == 0)
+
+
+def test_pii_redaction_changes_only_pii_docs(spark):
+    """Redacted fingerprint differs from the raw-text fingerprint exactly on
+    docs that carry PII (md5 of the same bytes otherwise)."""
+    from pyspark.sql import functions as F
+
+    corpus = fixtures.pii_corpus(spark, SF_DIR)
+    red = ts.pii_stats(corpus)
+    raw = corpus.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("raw_fp")
+    )
+    joined = red.join(raw, "doc_id").collect()
+    for r in joined:
+        assert (r["redacted_fp"] != r["raw_fp"]) == r["any_pii"], r
+
+
+def test_contamination_flags_benchmark_and_its_dups(spark):
+    """At sf0.001 the benchmark is doc 0 alone (only multiple of 97 among 50
+    docs); its injected exact dup (1000000) and near dup (2000000) must be
+    flagged, and flagged docs must share >= 1 distinct 5-gram."""
+    out = ts.contamination(fixtures.corpus(spark, SF_DIR)).collect()
+    flagged = {r["doc_id"] for r in out if r["contaminated"]}
+    assert {0, 1000000, 2000000} <= flagged
+    for r in out:
+        assert (r["n_contam"] > 0) == r["contaminated"]
