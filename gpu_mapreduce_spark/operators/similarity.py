@@ -367,3 +367,49 @@ def dup_pairs_lsh(
     return cand.select(
         "a", "b", _quantized_sim(F.col("ea"), F.col("eb")).alias("sim_e6")
     ).filter(F.col("sim_e6") >= F.lit(threshold_e6))
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column — the
+    4x compression step a vector store applies before indexing at corpus
+    scale (beyond-reference, builder brief §similarity; no reference
+    analog).
+
+    scale = max|x| / 127; q_i = floor(x_i/scale + 0.5) in [-127, 127]
+    (all-zero vectors quantize to zeros with scale 0). Every step is a
+    per-element scalar expression — identical IEEE arithmetic on both
+    engines, so outputs (including the double-typed scale and max
+    reconstruction error) are bit-identical and hash-comparable; sums over
+    elements are integer, and max is order-free. One scan, zero shuffles,
+    zero Python.
+    """
+    e = F.col("embedding")
+    scale = (
+        F.array_max(F.transform(e, lambda x: F.abs(x.cast("double")))) / 127.0
+    )
+    staged = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            e,
+            lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(e, lambda x: F.lit(0)))
+    qz = staged.select("vec_id", "embedding", "scale", q.alias("q"))
+    err = F.zip_with(
+        e,
+        F.col("q"),
+        lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale")),
+    )
+    return qz.select(
+        "vec_id",
+        F.size(e).cast("int").alias("n_dims"),
+        F.col("scale"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max(F.transform(F.col("q"), F.abs)).cast("int").alias("q_max"),
+        F.array_max(err).alias("max_abs_err"),
+    )

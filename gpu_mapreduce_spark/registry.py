@@ -75,6 +75,7 @@ def load_all() -> dict[str, QueryDef]:
             streaming_batch,
             analytics,
             skew,
+            embedding_io,  # keep LAST: new queries queue behind the window
         )
 
         _loaded = True

@@ -124,6 +124,28 @@ def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
         assert bad not in exec_plan, f"{bad} in pre-checkpoint plan:\n{exec_plan}"
 
 
+def test_q15_scalar_subquery_is_broadcast_hash_join(spark):
+    """q15's scalar-aggregate comparison must be a literal-key
+    BroadcastHashJoin of the 1-row max — not a nested-loop cross join and
+    not an unpartitioned Window over all suppliers (the two shapes the
+    audit above forbids; this pins the POSITIVE claim in the docstring)."""
+    plan = _plan_of(_QUERIES["q15_top_supplier"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q19_bounding_box_pushdown(spark):
+    """q19's manually-pushed envelope must reach both parquet scans as
+    PushedFilters: the brand IN-list + size bound on part, the quantity
+    envelope on lineitem — the move that shrinks the scans before the
+    exact disjunction runs on joined rows."""
+    df = _QUERIES["q19_disjunctive_revenue"].fn(spark, SF_DIR)
+    plan = _formatted_plan(spark, df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p and "p_size" in p for p in pushed), plan
+    assert any("l_quantity" in p for p in pushed), plan
+
+
 def test_q6_pushdown_and_pruning(spark):
     """Q6 is the canonical scan-efficiency probe: all four predicates must
     reach the parquet reader as PushedFilters and the read schema must be
