@@ -253,3 +253,52 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         top_frac.alias("top_token_frac"),
         ((dup2 <= 0.2) & (dup3 <= 0.15) & (top_frac <= 0.3)).alias("rep_keep"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = 512, shards: int = 8
+) -> DataFrame:
+    """Sequence packing for training batches: assign whole documents to
+    fixed-token-budget bins (the step that turns a cleaned corpus into
+    constant-length training rows; beyond-reference, builder brief).
+
+    True first-fit packing is a sequential recurrence, so the scale form is
+    the standard start-offset relaxation: within a shard (doc_id % shards —
+    shard count scales with the cluster), docs are laid out in doc_id order
+    and a doc starts in bin = (its start offset) div capacity. Each bin's
+    total can exceed capacity by at most one straddling doc (max doc len -
+    1 overflow) — the bounded slack streaming packers accept. One
+    SHARD-PARTITIONED window cumsum (never a global window) + one
+    (shard, bin) groupBy; both deterministic, so the DuckDB oracle replays
+    the identical layout and the per-bin doc_id digest proves assignment
+    byte-for-byte."""
+    from pyspark.sql import Window
+
+    t = tokens(F.col("text"))
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).cast("int").alias("shard"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    laid = sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    binned = laid.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"start_off div {capacity}").cast("bigint").alias("bin"),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            )
+        ).alias("docs_digest"),
+    )

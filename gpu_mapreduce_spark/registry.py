@@ -75,7 +75,8 @@ def load_all() -> dict[str, QueryDef]:
             streaming_batch,
             analytics,
             skew,
-            embedding_io,  # keep LAST: new queries queue behind the window
+            embedding_io,  # these two stay last: new queries queue
+            packing,  # behind the staleness window (SURVEY 2.6)
         )
 
         _loaded = True

@@ -45,3 +45,28 @@ def test_contamination_flags_benchmark_and_its_dups(spark):
     assert {0, 1000000, 2000000} <= flagged
     for r in out:
         assert (r["n_contam"] > 0) == r["contaminated"]
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc lands in exactly one bin; a bin overflows its capacity by
+    less than one straddling doc (the documented start-offset slack); bins
+    within a shard are contiguous."""
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.sources.tables import table
+
+    cap = 128  # small capacity so multi-bin shards exist even at sf0.001
+    docs = table(spark, SF_DIR, "documents")
+    out = ts.pack_sequences(docs, capacity=cap, shards=4).collect()
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    max_len = docs.select(
+        F.max(F.size(ts.tokens(F.col("text"))))
+    ).collect()[0][0]
+    for r in out:
+        assert r["bin_tokens"] < cap + max_len, r
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for shard, bins in by_shard.items():
+        assert sorted(bins) == list(range(len(bins))), (shard, sorted(bins))
