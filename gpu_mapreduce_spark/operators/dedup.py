@@ -109,14 +109,23 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataF
 
 
 def jaccard_pairs(
-    corpus: DataFrame, threshold: float = 0.8, k: int = 3
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    split_id: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard >= threshold, via prefix
     filtering: shingles ordered globally by (frequency, shingle); a doc with
     n shingles exposes only its first n - ceil(t*n) + 1 rarest as join keys.
     If J(A,B) >= t the pair is guaranteed to collide on some exposed shingle
     (pigeonhole on the shared global order), so candidate generation is
-    complete while hot (frequent) shingles never become join keys."""
+    complete while hot (frequent) shingles never become join keys.
+
+    `split_id` switches to CROSS-SET mode (incremental dedup): only pairs
+    with a < split_id <= b are generated — the restriction is applied at
+    the candidate join itself, so within-set pairs never materialize (at
+    scale the delta batch is tiny next to the corpus, and this keeps
+    candidate volume proportional to the delta)."""
     # widen before shingling: a small parquet corpus arrives in 2-3 input
     # splits, which would strand the compute-bound shingle build AND every
     # post-checkpoint hash pass on as many cores (SCALE.md checkpoint hygiene)
@@ -142,13 +151,68 @@ def jaccard_pairs(
     ).select("doc_id", F.col("p.sh").alias("sh"))
     pa = prefix.select(F.col("doc_id").alias("a"), "sh")
     pb = prefix.select(F.col("doc_id").alias("b"), "sh")
+    if split_id is None:
+        pair_cond = F.col("a") < F.col("b")
+    else:
+        pair_cond = (F.col("a") < split_id) & (F.col("b") >= split_id)
     cand = (
         pa.join(pb, "sh")
-        .filter(F.col("a") < F.col("b"))
+        .filter(pair_cond)
         .select("a", "b")
         .distinct()
     )
     return _verified_jaccard(cand, sh, threshold)
+
+
+def incremental_status(
+    corpus: DataFrame, split_id: int = 1_000_000, threshold: float = 0.8
+) -> DataFrame:
+    """Incremental dedup: classify each NEW-batch document (doc_id >=
+    split_id) against the EXISTING corpus (doc_id < split_id) — the shape a
+    continuously-ingesting pipeline runs per batch, where re-deduping the
+    whole corpus would be quadratic over time.
+
+    Tiers (first match wins): 'exact' — content fingerprint already present
+    in the existing corpus; 'near' — shingle-Jaccard >= threshold against
+    some existing doc (COMPLETE prefix-filter candidates in cross-set mode,
+    so there is no recall residue for the oracle to miss); 'novel' —
+    neither. matched_id = the minimal matching existing doc (-1 for
+    novel). Scale: the exact tier is one fp equi-join; the near tier's
+    candidate volume is proportional to the delta batch, never the corpus."""
+    existing = corpus.filter(F.col("doc_id") < split_id)
+    delta = corpus.filter(F.col("doc_id") >= split_id)
+    efp = (
+        existing.select(
+            F.md5(_norm(F.col("text")).cast("binary")).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    dfp = delta.select(
+        "doc_id", F.md5(_norm(F.col("text")).cast("binary")).alias("fp")
+    )
+    near = (
+        jaccard_pairs(corpus, threshold, split_id=split_id)
+        .groupBy(F.col("b").alias("doc_id"))
+        .agg(F.min("a").alias("near_match"))
+    )
+    return (
+        dfp.join(efp, "fp", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            # -1 sentinel, not NULL: a nullable BIGINT degrades to float64 in
+            # pandas on the oracle side (NaN forces the cast), which the
+            # driver's float normalization would then format as a string
+            F.coalesce("exact_match", "near_match", F.lit(-1))
+            .cast("bigint")
+            .alias("matched_id"),
+        )
+    )
 
 
 def minhash_lsh_pairs(

@@ -77,6 +77,7 @@ def load_all() -> dict[str, QueryDef]:
             skew,
             embedding_io,  # these two stay last: new queries queue
             packing,  # behind the staleness window (SURVEY 2.6)
+            dedup_incremental,
         )
 
         _loaded = True

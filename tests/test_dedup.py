@@ -34,3 +34,25 @@ def test_simhash_banding_complete_and_sound(spark):
     # injected exact duplicates must be at distance 0
     exact_dup_pairs = {(d, d + 1000000) for d in sigs if d < 500 and d % 5 == 0}
     assert exact_dup_pairs <= got
+
+
+def test_incremental_status_matches_injection_schedule(spark):
+    """The corpus fixture's injected copies classify deterministically:
+    +1e6 docs are byte-identical -> 'exact'; +2e6 docs carry an appended
+    tail -> 'near' when long enough to stay over J=0.8, else 'novel';
+    matched_id is -1 exactly for novel."""
+    from gpu_mapreduce_spark.operators import dedup as dd
+    from gpu_mapreduce_spark.sources import fixtures
+
+    out = dd.incremental_status(fixtures.corpus(spark, SF_DIR)).collect()
+    assert out
+    exact = {r["doc_id"] for r in out if r["status"] == "exact"}
+    near = {r["doc_id"] for r in out if r["status"] == "near"}
+    for r in out:
+        if 1_000_000 <= r["doc_id"] < 2_000_000:
+            assert r["status"] == "exact", r
+            assert r["matched_id"] >= 0
+        else:
+            assert r["status"] in ("near", "novel"), r
+        assert (r["matched_id"] == -1) == (r["status"] == "novel"), r
+    assert exact and near
