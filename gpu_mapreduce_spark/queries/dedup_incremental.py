@@ -13,25 +13,10 @@ from gpu_mapreduce_spark.sources import fixtures
 
 _SPLIT = 1_000_000  # corpus fixture: originals < 1e6, injected copies >= 1e6
 
-_C = fixtures.duckdb_with("corpus")
-
-# same shingle CTE as queries/dedup.py (3-gram distinct shingles)
-_SH_SQL = r"""
-    toksrc AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-        FROM corpus
-    ),
-    shs AS (
-        SELECT doc_id,
-               list_distinct(
-                   CASE WHEN len(toks) >= 3
-                        THEN list_transform(generate_series(1, len(toks) - 2),
-                                            i -> array_to_string(toks[i:i+2], ' '))
-                        ELSE [] END
-               ) AS s
-        FROM toksrc
-    )
-"""
+# shared oracle building blocks — the corpus CTE and the 3-gram shingle CTE
+# MUST be the same text the within-set dedup oracles use, so a tokenizer or
+# k change can never desync the incremental oracle from them
+from gpu_mapreduce_spark.queries.dedup import _C, _SH_SQL  # noqa: E402
 
 
 @register(

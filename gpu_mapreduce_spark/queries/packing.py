@@ -51,6 +51,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.pack_sequences): per-bin doc count, token total
     (capacity + bounded straddle slack), and an md5 digest of the exact
     doc_id membership."""
+    from gpu_mapreduce_spark.queries.textstats import _wide
+
     return ts.pack_sequences(
-        table(spark, sf_dir, "documents"), capacity=_CAP, shards=_SHARDS
+        _wide(table(spark, sf_dir, "documents")), capacity=_CAP, shards=_SHARDS
     )

@@ -756,12 +756,17 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100x the data the scans shrink by the envelope selectivity before
     a single row moves."""
     brands = [b for b, *_ in _Q19_BANDS]
+    min_size = min(s1 for _, s1, _, _, _ in _Q19_BANDS)
     max_size = max(s2 for _, _, s2, _, _ in _Q19_BANDS)
     qmin = min(q1 for *_, q1, _ in _Q19_BANDS)
     qmax = max(q2 for *_, q2 in _Q19_BANDS)
     p = (
         table(spark, sf_dir, "part")
-        .filter(F.col("p_brand").isin(brands) & (F.col("p_size") <= max_size) & (F.col("p_size") >= 1))
+        .filter(
+            F.col("p_brand").isin(brands)
+            & (F.col("p_size") >= min_size)
+            & (F.col("p_size") <= max_size)
+        )
         .select("p_partkey", "p_brand", "p_size")
     )
     li = table(spark, sf_dir, "lineitem").filter(

@@ -75,8 +75,10 @@ def load_all() -> dict[str, QueryDef]:
             streaming_batch,
             analytics,
             skew,
-            embedding_io,  # these two stay last: new queries queue
-            packing,  # behind the staleness window (SURVEY 2.6)
+            # tail block stays LAST: queries registered here queue
+            # behind the staleness window (SURVEY 2.6)
+            embedding_io,
+            packing,
             dedup_incremental,
         )
 
