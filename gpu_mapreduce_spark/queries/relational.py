@@ -929,3 +929,83 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+_Q7_START, _Q7_END = "1996-01-01", "1998-01-01"
+
+
+@register(
+    "q7_nation_volume",
+    tags=("relational", "join"),
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {sql_dsum('volume')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+                   OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+              AND l.l_shipdate >= TIMESTAMP '{_Q7_START} 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '{_Q7_END} 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, grouped by
+    direction and ship-year. The two-sided nation disjunction cannot pick a
+    side until both dims are attached, but its BOUNDING set can: supplier
+    and customer each pre-filter (broadcast semi-shape) to the two-nation
+    subset before the fact joins, so the orderkey-axis big-big join runs on
+    the reduced slice and the exact direction disjunction evaluates once on
+    the joined rows (the q19 bounding-box discipline applied to dims).
+    Year extraction is a codegen projection; the final aggregate is six
+    tiny groups (2 directions x 3 years)."""
+    nations = [_Q7_N1, _Q7_N2]
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q7_END).cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
