@@ -1009,3 +1009,61 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+_Q9_PAT = "bolt"
+
+
+@register(
+    "q9_product_profit",
+    tags=("relational", "join", "pushdown"),
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)'
+                         ' - 0.1 * p.p_retailprice * l.l_quantity')} AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%{_Q9_PAT}%'
+        GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+        ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line (parts whose name contains
+    '{_Q9_PAT}'), by supplier nation and order year; cost term derived from
+    p_retailprice (the fixture carries no partsupp). The LIKE '%...%'
+    predicate pushes to the part scan as a StringContains parquet filter —
+    the substring-pushdown class no other query exercises (mechanically
+    asserted in tests/test_plan_audit.py); the filtered part dim and
+    supplier⋈nation are broadcasts, so the only big-big join is
+    lineitem⋈orders on the orderkey axis."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_PAT))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )

@@ -164,3 +164,13 @@ def test_q6_pushdown_and_pruning(spark):
     assert read_cols == {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
     }, f"scan not pruned to the touched columns: {sorted(read_cols)}"
+
+
+def test_q9_like_pushdown(spark):
+    """q9's substring predicate must reach the part scan as a
+    StringContains pushed filter — the LIKE-pushdown class only this query
+    exercises."""
+    df = _QUERIES["q9_product_profit"].fn(spark, SF_DIR)
+    plan = _formatted_plan(spark, df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("StringContains(p_name" in p for p in pushed), plan
