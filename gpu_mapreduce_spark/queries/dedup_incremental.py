@@ -21,6 +21,7 @@ from gpu_mapreduce_spark.queries.dedup import _C, _SH_SQL  # noqa: E402
 
 @register(
     "dedup_incremental",
+    bench=True,
     tags=("llm", "dedup", "incremental"),
     oracle=f"""
         {_C},

@@ -795,6 +795,7 @@ _Q21_LATE_DAYS = 60
 
 @register(
     "q21_waiting_supplier",
+    bench=True,
     tags=("relational", "semijoin", "antijoin"),
     oracle=f"""
         WITH late AS (

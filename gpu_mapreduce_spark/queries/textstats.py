@@ -282,6 +282,7 @@ _PII_CNT = "CAST(len(regexp_extract_all(text, '{p}')) AS INT)"
 
 @register(
     "pii_redact",
+    bench=True,
     tags=("llm", "textstats", "pii"),
     oracle=f"""
         {fixtures.duckdb_with('pii_corpus')}
