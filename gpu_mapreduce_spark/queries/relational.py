@@ -835,6 +835,10 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # materialize `late` once: it feeds BOTH sides (the probe l1 and the
+    # anti build l3) — without this the plan recomputes the fact⋈orders
+    # lateness join twice, which doubles the big join at any scale (at
+    # cluster scale this is a persisted intermediate table)
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(
@@ -842,6 +846,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
         )
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=True)
     )
     l1, l2, l3 = late.alias("l1"), li.alias("l2"), late.alias("l3")
     sole = (
