@@ -1073,3 +1073,104 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(amount).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_1", "AMERICA", "ECONOMY"
+_Q8_START, _Q8_END = "1996-01-01", "1998-01-01"
+
+
+@register(
+    "q8_market_share",
+    tags=("relational", "join", "conditional-agg"),
+    oracle=f"""
+        SELECT o_year,
+               {sql_dsum(f"CASE WHEN supp_nation = '{_Q8_NATION}'"
+                         " THEN volume ELSE 0 END")} AS nation_volume,
+               {sql_dsum('volume')} AS total_volume,
+               {sql_dsum(f"CASE WHEN supp_nation = '{_Q8_NATION}'"
+                         " THEN volume ELSE 0 END")}
+                   / {sql_dsum('volume')} AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n1.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n2.n_regionkey
+            WHERE p.p_type = '{_Q8_TYPE}'
+              AND r.r_name = '{_Q8_REGION}'
+              AND o.o_orderdate >= TIMESTAMP '{_Q8_START} 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '{_Q8_END} 00:00:00'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: {_Q8_NATION}'s share of {_Q8_REGION}-customer
+    {_Q8_TYPE}-part revenue per order year — the widest join chain in the
+    suite (8 tables) feeding a grouped conditional-sum RATIO (q14's
+    percentage generalized to per-group). Bounded dims (part filtered on
+    type, supplier⋈nation, nation⋈region) broadcast; customer rides the
+    AQE size guard (q5 discipline); the two fact joins stay on the
+    orderkey axis. The ratio divides two exact fixed-point sums — one
+    deterministic double division per group."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q8_TYPE)
+        .select("p_partkey")
+    )
+    n1 = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    r = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q8_REGION)
+        .select("r_regionkey")
+    )
+    n2 = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q8_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q8_END).cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == _Q8_NATION, vol).otherwise(
+        F.lit(0.0)
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        dsum(nat_vol).alias("nation_volume"),
+        dsum(vol).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    ).orderBy("o_year")
