@@ -1174,3 +1174,84 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_volume",
         (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
     ).orderBy("o_year")
+
+
+_Q2_SIZE = 5
+
+
+@register(
+    "q2_min_cost_supplier",
+    tags=("relational", "argmin", "join"),
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey,
+                   CAST((l_partkey * 31 + l_suppkey) % 1000 AS BIGINT)
+                       AS cost_u
+            FROM lineitem
+        ),
+        best AS (
+            SELECT l_partkey,
+                   MIN(cost_u * 1000000000 + l_suppkey) AS packed
+            FROM ps GROUP BY l_partkey
+        )
+        SELECT p.p_partkey, p.p_brand,
+               CAST(b.packed % 1000000000 AS BIGINT) AS s_suppkey,
+               CAST(b.packed // 1000000000 AS BIGINT) AS min_cost_u,
+               s.s_name, n.n_name AS supp_nation
+        FROM best b
+        JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size = {_Q2_SIZE}
+        JOIN supplier s ON s.s_suppkey = b.packed % 1000000000
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        ORDER BY p.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost supplier per part (the correlated
+    MIN subquery), for parts of one size. The part-supplier relation and a
+    deterministic integer cost are DERIVED from lineitem (the fixture has
+    no partsupp). The argmin is ONE grouped aggregate over a packed BIGINT
+    (cost_u * 1e9 + suppkey — exact integer packing, suppkey < 1e9, so the
+    MIN simultaneously picks lowest cost with lowest-suppkey tie-break and
+    both engines unpack identical fields) — no window, no join-back against
+    a separate min table. Dims (part filtered on size, supplier, nation)
+    broadcast onto the per-part argmin output."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey")) % 1000)
+            .cast("bigint")
+            .alias("cost_u"),
+        )
+    )
+    best = ps.groupBy("l_partkey").agg(
+        F.min(F.col("cost_u") * 1000000000 + F.col("l_suppkey")).alias("packed")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == _Q2_SIZE)
+        .select("p_partkey", "p_brand")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            (F.col("packed") % 1000000000).cast("bigint").alias("s_suppkey"),
+            F.expr("packed div 1000000000").cast("bigint").alias("min_cost_u"),
+        )
+        .join(F.broadcast(s), "s_suppkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "min_cost_u",
+            "s_name", F.col("n_name").alias("supp_nation"),
+        )
+        .orderBy("p_partkey")
+    )
