@@ -818,7 +818,9 @@ _Q21_LATE_DAYS = 60
         LIMIT 10
     """,
 )
-def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_waiting_supplier(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
     multi-supplier finalized orders (lateness = shipped > {_Q21_LATE_DAYS}
     days after the order date — the fixture's stand-in for
@@ -838,7 +840,10 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize `late` once: it feeds BOTH sides (the probe l1 and the
     # anti build l3) — without this the plan recomputes the fact⋈orders
     # lateness join twice, which doubles the big join at any scale (at
-    # cluster scale this is a persisted intermediate table)
+    # cluster scale this is a persisted intermediate table). The audited
+    # post-checkpoint plan collapses the join to Scan ExistingRDD, so
+    # tests/test_plan_audit.py::test_q21_pre_checkpoint_plan re-audits the
+    # materialize=False pipeline.
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(
@@ -846,8 +851,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
         )
         .select("l_orderkey", "l_suppkey")
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        late = late.localCheckpoint(eager=True)
     l1, l2, l3 = late.alias("l1"), li.alias("l2"), late.alias("l3")
     sole = (
         l1.join(
@@ -937,7 +943,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+# NATION_3 <-> NATION_21: both directions carry lines at EVERY fixture
+# scale incl. sf0.001, so the local parity test is never empty-vs-empty
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_21"
 _Q7_START, _Q7_END = "1996-01-01", "1998-01-01"
 
 
@@ -975,8 +983,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset before the fact joins, so the orderkey-axis big-big join runs on
     the reduced slice and the exact direction disjunction evaluates once on
     the joined rows (the q19 bounding-box discipline applied to dims).
-    Year extraction is a codegen projection; the final aggregate is six
-    tiny groups (2 directions x 3 years)."""
+    Year extraction is a codegen projection; the final aggregate is four
+    tiny groups (2 directions x 2 ship-years in the window)."""
     nations = [_Q7_N1, _Q7_N2]
     n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
     s = (
@@ -1075,7 +1083,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_1", "AMERICA", "ECONOMY"
+# NATION_21 suppliers sell ECONOMY parts to AMERICA customers at every
+# fixture scale incl. sf0.001 — the conditional branch is never dead in
+# the local parity test
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_21", "AMERICA", "ECONOMY"
 _Q8_START, _Q8_END = "1996-01-01", "1998-01-01"
 
 
@@ -1188,6 +1199,8 @@ _Q2_SIZE = 5
                    CAST((l_partkey * 31 + l_suppkey) % 1000 AS BIGINT)
                        AS cost_u
             FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_size = {_Q2_SIZE})
         ),
         best AS (
             SELECT l_partkey,
@@ -1215,9 +1228,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines unpack identical fields) — no window, no join-back against
     a separate min table. Dims (part filtered on size, supplier, nation)
     broadcast onto the per-part argmin output."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == _Q2_SIZE)
+        .select("p_partkey", "p_brand")
+    )
     li = table(spark, sf_dir, "lineitem")
     ps = (
-        li.select("l_partkey", "l_suppkey")
+        # pre-filter to the size-band parts BEFORE the distinct/argmin:
+        # only ~2% of pairs survive, so the dominant shuffle shrinks ~50x
+        # (the q7/q19 scan-reduction discipline applied to the aggregate)
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
         .distinct()
         .select(
             "l_partkey",
@@ -1229,11 +1255,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = ps.groupBy("l_partkey").agg(
         F.min(F.col("cost_u") * 1000000000 + F.col("l_suppkey")).alias("packed")
-    )
-    p = (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_size") == _Q2_SIZE)
-        .select("p_partkey", "p_brand")
     )
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"

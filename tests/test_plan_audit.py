@@ -174,3 +174,16 @@ def test_q9_like_pushdown(spark):
     plan = _formatted_plan(spark, df)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("StringContains(p_name" in p for p in pushed), plan
+
+
+def test_q21_pre_checkpoint_plan(spark):
+    """q21 materializes its late-lines intermediate (the audited plan
+    collapses that join to Scan ExistingRDD), so — like
+    test_events_partitioned_scan_prunes_directories — run the
+    forbidden-node audit on the REAL pre-checkpoint pipeline."""
+    from gpu_mapreduce_spark.queries.relational import q21_waiting_supplier
+
+    plan = _plan_of(q21_waiting_supplier(spark, SF_DIR, materialize=False))
+    assert "ExistingRDD" not in plan, f"pre-checkpoint plan still collapsed:\n{plan}"
+    for bad in ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{bad} in pre-checkpoint plan:\n{plan}"
