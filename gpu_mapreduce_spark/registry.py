@@ -80,6 +80,7 @@ def load_all() -> dict[str, QueryDef]:
             embedding_io,
             packing,
             dedup_incremental,
+            relational_r04,
         )
 
         _loaded = True
