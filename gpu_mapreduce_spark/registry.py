@@ -81,6 +81,7 @@ def load_all() -> dict[str, QueryDef]:
             packing,
             dedup_incremental,
             relational_r04,
+            vocab,
         )
 
         _loaded = True

@@ -43,6 +43,10 @@ ALLOWED_BNLJ = {
     # guarded: dup_pairs refuses corpora above DUP_PAIRS_MAX_ROWS (see
     # operators/similarity.py + tests/test_similarity.py guard test)
     "dedup_embedding": "O(n^2) exact near-dup baseline for dedup_embedding_lsh",
+    # scalar-total attach with no natural equi-key (a literal key constant-
+    # folds away): build side is the 1-row corpus total, probe side the
+    # 32-row TakeOrdered output — 32 x 1 by construction
+    "vocab_topk_coverage": "top-k (bounded) x broadcast 1-row corpus total",
 }
 
 # Unpartitioned Window operators move ALL input rows to one task — the
