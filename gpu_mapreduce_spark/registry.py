@@ -82,6 +82,7 @@ def load_all() -> dict[str, QueryDef]:
             dedup_incremental,
             relational_r04,
             vocab,
+            ingest_audit,
         )
 
         _loaded = True
