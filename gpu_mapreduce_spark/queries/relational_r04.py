@@ -1,4 +1,4 @@
-"""TPC-H shapes added late in r04 (q7/q9/q8/q2).
+"""TPC-H shapes added late in r04 (q7/q9/q8/q2/q11/q20).
 
 Functionally these belong with queries/relational.py; they live in a
 separate module ONLY for registration order: the driver's 50-slot
@@ -349,4 +349,172 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name", F.col("n_name").alias("supp_nation"),
         )
         .orderBy("p_partkey")
+    )
+
+
+# Three nations that each have at least one supplier at EVERY fixture
+# scale incl. sf0.001 (single-nation filters are vacuous there: 10
+# suppliers spread over 10 distinct nations), so q11/q20's local parity
+# runs are never empty-vs-empty.
+_Q11_NATIONS = ("NATION_3", "NATION_21", "NATION_15")
+_Q11_NATIONS_SQL = "('" + "','".join(_Q11_NATIONS) + "')"
+
+# Derived partsupp attributes (the fixture carries no partsupp table):
+# deterministic pure-integer functions of the key pair, identical in both
+# engines. cost_u matches q2's derivation; avail_u is 1..100.
+_COST_U = "((l_partkey * 31 + l_suppkey) % 1000)"
+_AVAIL_U = "((l_partkey * 17 + l_suppkey * 7) % 100 + 1)"
+
+
+@register(
+    "q11_important_stock",
+    tags=("relational", "having", "scalar-subquery"),
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        v AS (
+            SELECT l_partkey,
+                   CAST({_COST_U} * {_AVAIL_U} AS BIGINT) AS value_u,
+                   l_suppkey
+            FROM ps
+        ),
+        nv AS (
+            SELECT v.l_partkey, v.value_u
+            FROM v
+            JOIN supplier s ON s.s_suppkey = v.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name IN {_Q11_NATIONS_SQL}
+        ),
+        per AS (
+            SELECT l_partkey AS ps_partkey, SUM(value_u) AS value_u
+            FROM nv GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT SUM(value_u) AS total_u, COUNT(*) AS n_parts FROM per
+        )
+        SELECT ps_partkey, CAST(per.value_u AS BIGINT) AS value_u
+        FROM per, tot
+        WHERE per.value_u * tot.n_parts > 2 * tot.total_u
+        ORDER BY per.value_u DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value held by a nation set's
+    suppliers exceeds a fraction of the group's total (the HAVING-vs-
+    global-scalar-subquery shape). partsupp and its cost/availqty are
+    DERIVED from lineitem's distinct (part, supplier) pairs (no partsupp
+    in the fixture; q2's derivation discipline). The threshold is
+    DATA-DERIVED — value > 2x the average per-part value — because any
+    fixed fraction of the total is scale-dependent (TPC-H itself scales
+    Q11's fraction by 1/SF): the comparison `value_u * n_parts >
+    2 * total_u` is exact BIGINT arithmetic at every scale. The global
+    total attaches via a literal-key broadcast equi-join (q15 discipline —
+    no BroadcastNestedLoopJoin, no single-partition window); the nation
+    filter broadcasts into supplier and semi-reduces the pair set before
+    the per-part shuffle."""
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q11_NATIONS)
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    per = (
+        ps.select(
+            "l_partkey",
+            (F.expr(_COST_U) * F.expr(_AVAIL_U)).cast("bigint").alias("value_u"),
+        )
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("value_u").alias("value_u"))
+    )
+    tot = per.agg(
+        F.sum("value_u").alias("total_u"), F.count(F.lit(1)).alias("n_parts")
+    ).withColumn("k", F.lit(1))
+    return (
+        per.withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .filter(F.col("value_u") * F.col("n_parts") > 2 * F.col("total_u"))
+        .select("ps_partkey", "value_u")
+        .orderBy(F.desc("value_u"), "ps_partkey")
+    )
+
+
+_Q20_PREFIX = "small"
+_Q20_START, _Q20_END = "1996-01-01", "1997-01-01"
+
+
+@register(
+    "q20_excess_suppliers",
+    tags=("relational", "semi-join", "pushdown"),
+    oracle=f"""
+        WITH q AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_u
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{_Q20_START} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{_Q20_END} 00:00:00'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '{_Q20_PREFIX}%')
+            GROUP BY l_partkey, l_suppkey
+        ),
+        f AS (
+            SELECT DISTINCT l_suppkey FROM q
+            WHERE 2 * {_AVAIL_U} > qty_u
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation
+        FROM f
+        JOIN supplier s ON s.s_suppkey = f.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN {_Q11_NATIONS_SQL}
+        ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation set holding excess stock
+    (availqty > half the quantity they shipped in a year) of parts whose
+    name starts with '{_Q20_PREFIX}' — the nested-semi-join chain. availqty
+    is the q11 derivation; shipped quantity floors to exact BIGINT units.
+    The `LIKE 'prefix%'` pushes to the part scan as a StringStartsWith
+    parquet filter (the prefix-pushdown class; q9 covers Contains), the
+    filtered part set broadcast-semi-reduces lineitem BEFORE its
+    (part, supplier) shuffle, and pairs with no shipped lines in the window
+    are excluded (TPC-H NULL-comparison semantics: an empty correlated sum
+    qualifies nothing). The qualifying-supplier set is tiny, so it
+    broadcast-semi-joins INTO supplier rather than shuffling it."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_PREFIX))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q20_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q20_END).cast("timestamp"))
+    )
+    q = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("qty_u"))
+    )
+    f = (
+        q.filter(2 * F.expr(_AVAIL_U) > F.col("qty_u"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q11_NATIONS)
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(f), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+        .orderBy("s_suppkey")
     )

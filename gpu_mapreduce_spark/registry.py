@@ -83,6 +83,7 @@ def load_all() -> dict[str, QueryDef]:
             relational_r04,
             vocab,
             ingest_audit,
+            ranking,
         )
 
         _loaded = True

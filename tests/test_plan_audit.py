@@ -47,6 +47,16 @@ ALLOWED_BNLJ = {
     # folds away): build side is the 1-row corpus total, probe side the
     # 32-row TakeOrdered output — 32 x 1 by construction
     "vocab_topk_coverage": "top-k (bounded) x broadcast 1-row corpus total",
+    # 1-row-build scalar attaches whose downstream comparison is an
+    # INEQUALITY, so (unlike q15, whose equality filter becomes the hash
+    # key) the folded literal-key join stays nested-loop. Build side is one
+    # row by construction -> the "nested loop" is a single comparison per
+    # probe row, O(n) like a BroadcastHashJoin. q22 has the same shape and
+    # passes only via the nation-substring clause below; listed here so the
+    # sanction is explicit rather than accidental.
+    "q11_important_stock": "per-part values x broadcast 1-row (total, count)",
+    "q22_idle_customers": "customers x broadcast 1-row average balance",
+    "tfidf_search_topk": "3-row term df x broadcast 1-row corpus count",
 }
 
 # Unpartitioned Window operators move ALL input rows to one task — the
