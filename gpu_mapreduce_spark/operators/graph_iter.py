@@ -211,6 +211,60 @@ def cc_find(
     return fix.select("v", F.col("label").alias("zone")), rounds
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
+) -> tuple[DataFrame, int]:
+    """K-core decomposition by synchronous peeling: repeatedly delete every
+    vertex whose degree in the surviving induced subgraph is < k, until no
+    vertex falls below k. The k-core is schedule-independent (deleting in
+    any order reaches the same unique maximal subgraph), so the synchronous
+    rounds here and the oracle's unrolled CTE chain agree exactly.
+
+    Extends the reference's degree/cc toolkit (oink/degree.cpp +
+    oink/cc_find.cpp's iterate-until-stable shape) with the subgraph-mining
+    primitive neither ships; same per-round plan discipline as cc_find:
+    state (the survivor set) is broadcast by default, or shuffle-hash
+    against bucketed-at-rest arcs via ``broadcast_state=False`` when |V|
+    outgrows broadcast range.
+
+    Per round: arcs semi-restricted to survivors on BOTH endpoints (two
+    state joins — the arc side never moves), one partially-aggregated
+    groupBy(src) for induced degrees. A vertex whose surviving degree hits
+    0 leaves the state silently; that never changes another survivor's
+    degree (all its remaining edges pointed at already-deleted vertices),
+    so `no deg < k row` is an exact fixpoint test.
+
+    Returns ((v, core_deg) for vertices in the k-core, rounds run);
+    core_deg is the vertex's degree inside the core-induced subgraph.
+    """
+    if arcs is None:
+        arcs = prepare_arcs(edges)
+    deg0 = arcs.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )
+
+    def step(cur: DataFrame) -> DataFrame:
+        surv = cur.filter(F.col("core_deg") >= k).select("v")
+        s1 = _state_side(surv, broadcast_state)
+        s2 = _state_side(surv.select(F.col("v").alias("w")), broadcast_state)
+        return (
+            arcs.join(s1, arcs.src == s1.v, "left_semi")
+            .join(s2, arcs.dst == F.col("w"), "left_semi")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+
+    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
+        return cur.filter(F.col("core_deg") < k).isEmpty()
+
+    fix, rounds = fixpoint(deg0, step, converged, max_iter)
+    return fix, rounds
+
+
 def weighted_arcs(wedges: DataFrame) -> DataFrame:
     """Bidirect weighted canonical edges, carrying the edge weight both ways
     (oink/map_read_edge_weight.cpp shape + sssp's reorganize_edges,

@@ -84,6 +84,8 @@ def load_all() -> dict[str, QueryDef]:
             vocab,
             ingest_audit,
             ranking,
+            kcore,
+            pipeline_ops,
         )
 
         _loaded = True

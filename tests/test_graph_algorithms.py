@@ -215,3 +215,31 @@ def test_neighbor_grouped_iterator_escape_matches(spark):
     ).collect()
     key = lambda r: r.v  # noqa: E731
     assert sorted(base, key=key) == sorted(escaped, key=key)
+
+
+def test_kcore_invariants_and_paths(spark):
+    """k-core output invariants on the edges fixture: every member's
+    core-induced degree is >= k, the 25-nation clique (a 24-core by
+    construction) is fully inside the 24-core, and degrees are consistent
+    with a recomputation over the returned membership. The bucketed
+    shuffle-hash state path must match the broadcast path bit-for-bit."""
+    edges = fixtures.edges_materialized(spark, SF_DIR)
+    core, rounds = graph_iter.kcore(edges, k=24)
+    rows = {r.v: r.core_deg for r in core.collect()}
+    assert rows, "24-core empty despite the embedded 25-clique"
+    assert all(d >= 24 for d in rows.values())
+    assert set(range(25)) <= set(rows), "nation-clique vertices missing"
+    # recompute induced degrees over the returned membership
+    member = set(rows)
+    arcs = {(r.src, r.dst) for r in graph.bidirect(edges).collect()}
+    for v in member:
+        deg = sum(1 for (s, d) in arcs if s == v and d in member)
+        assert deg == rows[v]
+    barcs = graph_iter.prepare_arcs_bucketed(edges, tag="testgraph")
+    core_s, rounds_s = graph_iter.kcore(
+        edges, k=24, arcs=barcs, broadcast_state=False
+    )
+    assert rounds == rounds_s
+    assert sorted(map(tuple, core.collect())) == sorted(
+        map(tuple, core_s.collect())
+    )
