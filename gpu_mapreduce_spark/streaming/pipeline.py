@@ -72,6 +72,34 @@ def windowed_counts(events: DataFrame, with_watermark: bool = False) -> DataFram
     )
 
 
+def hopping_counts(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """HOPPING (sliding) 1-hour windows every 15 minutes: each event lands
+    in 4 overlapping windows — the smoothed-trend view tumbling windows
+    can't give. Same transform for batch and streaming; the watermark
+    bounds state to (lateness + window length) / slide open windows per
+    (window, type) key. Spark's window() materializes the per-event window
+    list at the scan (a 4-way explode), so the aggregate stays a plain
+    partial-aggregated groupBy — the hop multiplies shuffle rows by
+    window/slide, which is the known, bounded cost of the overlap."""
+    if with_watermark:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def enriched_type_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static enrichment: every event joined to the (static) customer
     dimension, then exact counts/sums per (mktsegment, event_type).

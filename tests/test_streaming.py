@@ -107,3 +107,18 @@ def test_enriched_stream_equals_batch(spark):
     got = pipeline.run_stream_to_memory(stream, "t_enriched", spark)
     cols = ["c_mktsegment", "event_type", "n", "sum_value"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_hopping_stream_equals_batch(spark):
+    batch = pipeline.hopping_counts(table(spark, SF_DIR, "events"))
+    stream = pipeline.hopping_counts(
+        pipeline.events_stream(spark, SF_DIR), with_watermark=True
+    )
+    got = pipeline.run_stream_to_memory(stream, "t_hopping", spark)
+    cols = ["window_ms", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    # every tumbling bucket appears in exactly window/slide hops: total row
+    # weight quadruples relative to the tumbling view
+    tumbling_n = sum(r.n for r in pipeline.windowed_counts(
+        table(spark, SF_DIR, "events")).collect())
+    assert sum(r.n for r in batch.collect()) == 4 * tumbling_n
