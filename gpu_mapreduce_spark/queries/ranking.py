@@ -28,6 +28,7 @@ _IDF_SCALE = 10000
 
 @register(
     "tfidf_search_topk",
+    bench=True,
     tags=("llm", "text", "ranking"),
     oracle=f"""
         WITH tok AS (
