@@ -499,24 +499,27 @@ def luby_find(
             )
             .select(F.col("v").alias("wv"))
         )
-        # losers: undecided neighbors of a winner
+        # losers: undecided neighbors of a winner. Winners and losers are
+        # DISJOINT (w wins => w < every undecided neighbor v; v losing to w
+        # would need v < v's neighbors incl. w — contradiction), so both
+        # decisions fuse into ONE decided table and the state update is a
+        # single left join instead of two (one fewer join + broadcast per
+        # round; on the scheduling-floor-bound small-graph rounds that is
+        # the dominant cost).
         losers = (
             arcs.join(_state_side(winners, broadcast_state), arcs.src == F.col("wv"))
-            .select(F.col("dst").alias("lv"))
+            .select(F.col("dst").alias("dv2"))
             .distinct()
         )
-        return (
-            state.join(winners, state.v == F.col("wv"), "left")
-            .join(losers, state.v == F.col("lv"), "left")
-            .select(
-                "v",
-                "pri",
-                F.when(F.col("status") != "u", F.col("status"))
-                .when(F.col("wv").isNotNull(), F.lit("i"))
-                .when(F.col("lv").isNotNull(), F.lit("o"))
-                .otherwise(F.lit("u"))
-                .alias("status"),
-            )
+        decided = winners.select(
+            F.col("wv").alias("dcv"), F.lit("i").alias("dstat")
+        ).unionAll(losers.select(F.col("dv2").alias("dcv"), F.lit("o")))
+        return state.join(decided, state.v == F.col("dcv"), "left").select(
+            "v",
+            "pri",
+            F.when(F.col("status") != "u", F.col("status"))
+            .otherwise(F.coalesce(F.col("dstat"), F.lit("u")))
+            .alias("status"),
         )
 
     def converged(_prev: DataFrame, cur: DataFrame) -> bool:

@@ -413,3 +413,94 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
         F.array_max(F.transform(F.col("q"), F.abs)).cast("int").alias("q_max"),
         F.array_max(err).alias("max_abs_err"),
     )
+
+
+def power_iteration_top_direction(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    rounds: int = 6,
+    vscale: int = 1_000_000,
+) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by power
+    iteration on the (uncentered) Gram matrix: v <- normalize(X^T (X v)),
+    `rounds` fixed synchronous rounds (round-bounded semantics like
+    pagerank — the round count IS the spec, so the oracle replays it
+    exactly; the Gram matrix is PSD, so no sign flipping between rounds).
+
+    Exactness discipline (the driver hash gate): the direction state lives
+    in integer units (v_u = vscale at j for the all-ones start). Per round
+      dot_u(r) = SUM_j floor(x_rj * v_uj)            -- exact BIGINT
+      w_uj     = SUM_r floor(dot_u(r) * x_rj)        -- exact BIGINT
+      v'_uj    = sign(w) * ((|w_uj| * vscale) div max_j|w_uj|)
+    Every float product is a single IEEE double multiply identical in both
+    engines; every sum is integer; the normalizer is max-abs (exact integer
+    division on non-negatives, where Spark's `div`, DuckDB's `//` and
+    Python's `//` agree) rather than the L2 norm, whose sum-of-squares
+    exceeds 2^53 and whose sqrt would reintroduce engine-ordered float
+    summation. Max-norm changes only the scaling, not the direction.
+
+    Scale shape (the MLlib linear-algebra pattern): per round ONE corpus
+    scan — dot product as codegen zip_with/aggregate against the v literal,
+    then posexplode + partially-aggregated 64-group sum — and only the
+    64-row direction crosses the driver. Bounds: |x| < 1, so
+    |dot_u| <= dim * vscale and |w_uj| <= n_rows * dim * vscale — BIGINT-
+    safe to ~10^11 rows at these constants; beyond that, downshift vscale
+    (the docstring contract, asserted nowhere because the fixture is 5
+    orders of magnitude below it).
+
+    Returns (j, vu): the direction in vscale units, 64 rows.
+    """
+    vec = [int(vscale)] * dim
+
+    def _w_frame(v: list[int]) -> DataFrame:
+        vlit = F.array(*[F.lit(int(x)) for x in v])
+        # every product is cast to DOUBLE explicitly: Spark coerces
+        # float * bigint to FLOAT (single-precision multiply), DuckDB to
+        # DOUBLE — without the cast the floor flips on last-ulp boundaries
+        dot_u = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                vlit,
+                lambda x, w: F.floor(x.cast("double") * w).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        return (
+            emb.select(dot_u.alias("dot_u"), "embedding")
+            .select(
+                F.posexplode("embedding").alias("j", "x"), "dot_u"
+            )
+            .select(
+                "j",
+                F.floor(F.col("dot_u") * F.col("x").cast("double"))
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("j")
+            .agg(F.sum("t").alias("wu"))
+        )
+
+    def _renorm(w: dict[int, int]) -> list[int]:
+        wv = [int(w.get(j, 0)) for j in range(dim)]
+        m = max(abs(x) for x in wv) or 1
+        return [
+            -((-x) * vscale // m) if x < 0 else x * vscale // m for x in wv
+        ]
+
+    for _ in range(rounds - 1):
+        vec = _renorm({r.j: r.wu for r in _w_frame(vec).collect()})
+    last = _w_frame(vec).localCheckpoint(eager=True)
+    m = max(abs(r.wu) for r in last.collect()) or 1
+    # integer div on non-negative operands; sign split keeps both engines'
+    # truncation identical
+    return last.select(
+        "j",
+        F.when(
+            F.col("wu") < 0,
+            -F.expr(f"((-wu) * {vscale}) div {m}"),
+        )
+        .otherwise(F.expr(f"(wu * {vscale}) div {m}"))
+        .cast("long")
+        .alias("vu"),
+    ).orderBy("j")

@@ -1,0 +1,192 @@
+"""Interchange-format coverage: JSONL and ORC sink→source roundtrips.
+Tail-registered per the SURVEY §2.6 discipline.
+
+The reference reads text/binary files only (SURVEY §2.1 map variants);
+a Spark engine additionally owes the columnar/interchange formats a
+pipeline actually moves data through: parquet (every fixture read), CSV
+(csv_source_revenue / csv_malformed_audit / scan_roundtrip), JSONL (the
+de-facto LLM corpus interchange format — one JSON object per line), and
+ORC (the other columnar at-rest format). Each roundtrip writes
+DISTRIBUTED part files, reads them back with an explicit schema (never
+inference on the read-back path — schema drift would hide), and proves
+row identity with a content digest, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
+from gpu_mapreduce_spark.registry import register
+from gpu_mapreduce_spark.sources.tables import table
+
+
+@register(
+    "jsonl_roundtrip",
+    tags=("sources", "llm"),
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_u,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS docid_digest
+        FROM documents
+        GROUP BY lang ORDER BY lang
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL part files → read back (explicit schema) →
+    per-lang accounting with an md5 digest over the sorted doc_id list:
+    the digest mismatches if the roundtrip drops, duplicates, or corrupts
+    a single row — the oracle computes the same report straight from the
+    parquet source of truth, so the query proves JSONL write+read is
+    lossless. JSON escaping covers the text column's arbitrary content;
+    writes are one part per partition (the landing-zone layout)."""
+    docs = table(spark, sf_dir, "documents")
+
+    def build(path: str) -> DataFrame:
+        docs.write.mode("overwrite").json(path)
+        back = spark.read.schema(
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        ).json(path)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars_u"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(F.collect_list("doc_id")).cast(
+                            "array<string>"
+                        ),
+                    )
+                ).alias("docid_digest"),
+            )
+            .orderBy("lang")
+        )
+
+    return sink_roundtrip("jsonl_rt_", build)
+
+
+@register(
+    "orc_roundtrip",
+    tags=("sources",),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+                    AS BIGINT) AS price_u,
+               md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+                              ORDER BY o_orderkey)) AS key_digest
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC part files → read back (explicit schema) → per-status
+    accounting with exact fixed-point price sums and a key digest — same
+    losslessness contract as jsonl_roundtrip for the columnar format.
+    price_u quantizes BEFORE the write so the roundtripped value is an
+    exact BIGINT and the digest never depends on double formatting."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 10000).cast("bigint").alias("price_u"),
+    )
+
+    def build(path: str) -> DataFrame:
+        orders.write.mode("overwrite").orc(path)
+        back = spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, price_u bigint"
+        ).orc(path)
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("price_u").cast("bigint").alias("price_u"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(F.collect_list("o_orderkey")).cast(
+                            "array<string>"
+                        ),
+                    )
+                ).alias("key_digest"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+    return sink_roundtrip("orc_rt_", build)
+
+
+def dpp_day_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Write events date-partitioned, then join the read-back fact against
+    a FILTERED date-dimension (Mondays) — the canonical star-schema shape
+    where the partition list is only known after evaluating the dim, so
+    static pruning is impossible and Spark's dynamic partition pruning
+    (DPP) injects the broadcast dim result as a runtime partition filter:
+    only the Monday directories are ever listed/opened. (The dim must
+    carry a SELECTIVE PREDICATE — a plain Filter — for the PartitionPruning
+    rule to fire; an aggregate/limit dim does not qualify, which is itself
+    a documented planner contract this probe pins.) Split from the
+    registered query so tests/test_plan_audit.py can assert
+    `dynamicpruning` on the partitioned scan pre-checkpoint."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    date_dim = (
+        ev.select("event_date")
+        .distinct()
+        .withColumn("dow", F.dayofweek(F.to_date("event_date")))
+        .filter(F.col("dow") == 2)  # Mondays (Spark: 1=Sunday..7=Saturday)
+        .select(F.col("event_date").alias("d"))
+    )
+    from gpu_mapreduce_spark.functions.numeric import dsum
+
+    return (
+        back.join(F.broadcast(date_dim), back.event_date == F.col("d"))
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
+    "events_dpp_join",
+    tags=("sources", "pushdown", "join"),
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d
+            FROM events WHERE dayofweek(ts) = 1
+        )
+        SELECT strftime(e.ts, '%Y-%m-%d') AS event_date,
+               COUNT(*) AS n,
+               (CAST(SUM(CAST(FLOOR((value) * 10000) AS BIGINT)) AS DOUBLE)
+                / 10000) AS sum_value
+        FROM events e JOIN days ON strftime(e.ts, '%Y-%m-%d') = days.d
+        GROUP BY 1 ORDER BY event_date
+    """,
+)
+def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning probe: per-day totals for the Monday
+    partitions, where the day list reaches the date-partitioned fact scan
+    as a runtime DPP filter (dpp_day_counts; the `dynamicpruning` subquery
+    on the scan is asserted mechanically). At 100 TB this is the
+    difference between opening ~4 day directories and scanning the whole
+    table — free because the join is declared, not hand-scheduled. The
+    oracle selects the same weekday's days (DuckDB numbers Sunday=0, so
+    Monday is 1 there and 2 in Spark) and aggregates them from the
+    original table."""
+    from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
+
+    return sink_roundtrip(
+        "events_dpp_", lambda path: dpp_day_counts(spark, sf_dir, path)
+    )

@@ -86,6 +86,8 @@ def load_all() -> dict[str, QueryDef]:
             ranking,
             kcore,
             pipeline_ops,
+            formats,
+            embedding_analytics,
         )
 
         _loaded = True

@@ -201,3 +201,19 @@ def test_q21_pre_checkpoint_plan(spark):
     assert "ExistingRDD" not in plan, f"pre-checkpoint plan still collapsed:\n{plan}"
     for bad in ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"):
         assert bad not in plan, f"{bad} in pre-checkpoint plan:\n{plan}"
+
+
+def test_events_dpp_join_prunes_dynamically(spark, tmp_path):
+    """The busiest-days join must reach the partitioned scan as a DYNAMIC
+    partition-pruning filter (the day set only exists at runtime), not a
+    full-scan + post-filter."""
+    from gpu_mapreduce_spark.queries.formats import dpp_day_counts
+
+    df = dpp_day_counts(spark, SF_DIR, str(tmp_path / "bydate"))
+    plan = _formatted_plan(spark, df)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning on the date-partitioned scan:\n{plan}"
+    )
+    exec_plan = _plan_of(df)
+    for bad in ("CartesianProduct", "BatchEvalPython"):
+        assert bad not in exec_plan, f"{bad} in pre-checkpoint plan:\n{exec_plan}"
