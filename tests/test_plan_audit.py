@@ -109,12 +109,18 @@ def test_plan_is_scale_safe(spark, name):
 
     if name in ALLOWED_BNLJ:
         return
-    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
         # the only other sanctioned BNLJ is the nation-clique inequality
-        # join; its subtree necessarily scans the nation table
-        assert "nation" in plan[m.start() - 4000 : m.start() + 4000].lower(), (
-            f"{name}: BroadcastNestedLoopJoin outside the nation-clique "
-            f"fixture build:\n{plan}"
+        # self-join the edges fixture builds (nation a x nation b ON
+        # a.n_nationkey < b.n_nationkey): the join NODE ITSELF must carry
+        # that inequality condition. (An earlier form of this clause only
+        # looked for "nation" within +-4000 chars of the match — any plan
+        # scanning a *_nationkey column passed, which silently sanctioned
+        # unrelated BNLJs.)
+        line = m.group(0)
+        assert re.search(r"n_nationkey#\d+L? < n_nationkey#\d+", line), (
+            f"{name}: BroadcastNestedLoopJoin that is not the nation-clique "
+            f"inequality join:\n{line}\n{plan}"
         )
 
 
