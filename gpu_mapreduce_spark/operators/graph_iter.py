@@ -231,10 +231,16 @@ def kcore(
     against bucketed-at-rest arcs via ``broadcast_state=False`` when |V|
     outgrows broadcast range.
 
-    Per round: arcs semi-restricted to survivors on BOTH endpoints (two
-    state joins — the arc side never moves), one partially-aggregated
-    groupBy(src) for induced degrees. A vertex whose surviving degree hits
-    0 leaves the state silently; that never changes another survivor's
+    Per round, exactly cc_find's shape: ONE state join against the arc
+    table on src (arcs bidirected, so counting surviving IN-neighbors per
+    dst equals the undirected induced degree), one partially-aggregated
+    groupBy(dst), then the O(|V|) degree table semi-filtered back to
+    survivors. The arc side carries a single src-keyed join — under the
+    bucketed path it genuinely never moves (an earlier form semi-joined
+    arcs on BOTH endpoints, whose dst-side join re-shuffled the whole
+    O(|E|) arc table every round; tests/test_graph_algorithms.py now pins
+    the no-arc-exchange property). A vertex whose surviving degree hits 0
+    leaves the state silently; that never changes another survivor's
     degree (all its remaining edges pointed at already-deleted vertices),
     so `no deg < k row` is an exact fixpoint test.
 
@@ -250,13 +256,15 @@ def kcore(
     def step(cur: DataFrame) -> DataFrame:
         surv = cur.filter(F.col("core_deg") >= k).select("v")
         s1 = _state_side(surv, broadcast_state)
-        s2 = _state_side(surv.select(F.col("v").alias("w")), broadcast_state)
-        return (
+        indeg = (
             arcs.join(s1, arcs.src == s1.v, "left_semi")
-            .join(s2, arcs.dst == F.col("w"), "left_semi")
-            .groupBy(F.col("src").alias("v"))
+            .groupBy(F.col("dst").alias("v"))
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
+        # both sides here are O(|V|): the state side behaves exactly like
+        # the arc join's state side (broadcast or shuffle-hash)
+        s2 = _state_side(surv.select(F.col("v").alias("w")), broadcast_state)
+        return indeg.join(s2, indeg.v == F.col("w"), "left_semi")
 
     def converged(_prev: DataFrame, cur: DataFrame) -> bool:
         return cur.filter(F.col("core_deg") < k).isEmpty()

@@ -442,14 +442,29 @@ def power_iteration_top_direction(
     Scale shape (the MLlib linear-algebra pattern): per round ONE corpus
     scan — dot product as codegen zip_with/aggregate against the v literal,
     then posexplode + partially-aggregated 64-group sum — and only the
-    64-row direction crosses the driver. Bounds: |x| < 1, so
-    |dot_u| <= dim * vscale and |w_uj| <= n_rows * dim * vscale — BIGINT-
-    safe to ~10^11 rows at these constants; beyond that, downshift vscale
-    (the docstring contract, asserted nowhere because the fixture is 5
-    orders of magnitude below it).
+    64-row direction crosses the driver.
+
+    Overflow envelope (GUARDED, not just documented): |x| < 1 bounds
+    |w_uj| <= n_rows * dim * vscale, and the renorm multiplies that by
+    vscale again — in Spark (final round) and DuckDB (every oracle round)
+    that product lives in engine BIGINTs, so the binding constraint is
+    n_rows * dim * vscale^2 < 2^63, i.e. ~1.4e5 rows at the default
+    constants (dim=64, vscale=1e6) — NOT the ~1e11 the w_uj bound alone
+    would allow; Spark wraps silently and DuckDB raises, the worst kind of
+    divergence, hence the hard raise below. Larger corpora downshift
+    vscale (1e3 extends the envelope to ~1.4e11 rows at 1e-3 direction
+    resolution). Intermediate Spark-side renorms run in Python bigints and
+    never overflow — only the engine-side arithmetic binds.
 
     Returns (j, vu): the direction in vscale units, 64 rows.
     """
+    n_rows = emb.count()
+    if n_rows * dim * vscale * vscale >= 2**63:
+        raise ValueError(
+            f"power_iteration_top_direction: n_rows={n_rows} * dim={dim} * "
+            f"vscale^2={vscale**2} exceeds the BIGINT renorm envelope; "
+            "pass a smaller vscale"
+        )
     vec = [int(vscale)] * dim
 
     def _w_frame(v: list[int]) -> DataFrame:
@@ -483,7 +498,7 @@ def power_iteration_top_direction(
 
     def _renorm(w: dict[int, int]) -> list[int]:
         wv = [int(w.get(j, 0)) for j in range(dim)]
-        m = max(abs(x) for x in wv) or 1
+        m = max((abs(x) for x in wv), default=0) or 1
         return [
             -((-x) * vscale // m) if x < 0 else x * vscale // m for x in wv
         ]
@@ -491,7 +506,7 @@ def power_iteration_top_direction(
     for _ in range(rounds - 1):
         vec = _renorm({r.j: r.wu for r in _w_frame(vec).collect()})
     last = _w_frame(vec).localCheckpoint(eager=True)
-    m = max(abs(r.wu) for r in last.collect()) or 1
+    m = max((abs(r.wu) for r in last.collect()), default=0) or 1
     # integer div on non-negative operands; sign split keeps both engines'
     # truncation identical
     return last.select(

@@ -52,7 +52,11 @@ def _pi_oracle(dim: int = _DIM, rounds: int = _ROUNDS, vscale: int = _VSCALE) ->
                 JOIN idx t ON true
                 GROUP BY t.j
             ), m{i} AS MATERIALIZED (
-                SELECT MAX(ABS(wu)) AS m FROM w{i}
+                -- the 1-floor mirrors the Spark side's `or 1`: on a
+                -- degenerate all-zero round both engines emit zeros
+                -- instead of one erroring on divide-by-zero
+                SELECT CASE WHEN COALESCE(MAX(ABS(wu)), 0) = 0 THEN 1
+                            ELSE MAX(ABS(wu)) END AS m FROM w{i}
             ), v{i} AS MATERIALIZED (
                 SELECT j,
                        CAST(CASE WHEN wu < 0

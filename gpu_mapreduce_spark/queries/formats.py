@@ -17,32 +17,87 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpu_mapreduce_spark.functions.numeric import dsum, sql_dsum
 from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
 from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources.tables import table
 
 
+_DIGEST_BUCKETS = 256
+
+
+def _two_stage_digest(back: DataFrame, group: str, key: str) -> DataFrame:
+    """Row-identity digest with BOUNDED aggregation state: keys bucket by
+    key % {_DIGEST_BUCKETS}, stage 1 digests each (group, bucket)'s sorted
+    key list, stage 2 digests the zero-padded 'bucket:digest' strings per
+    group — per-group state is one bucket (stage 1) or one digest list
+    (stage 2), never the whole group's keys. (A single-stage
+    collect_list-of-all-keys digest would hold a corpus-sized group buffer
+    at the scale these probes argue — the exact unbounded state SCALE.md
+    forbids.) Zero-padding makes the stage-2 lexicographic sort equal the
+    numeric bucket order in both engines."""
+    s1 = (
+        back.groupBy(group, (F.col(key) % _DIGEST_BUCKETS).alias("bkt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(key)).cast("array<string>")
+                )
+            ).alias("d"),
+        )
+        .select(
+            group, "n", F.format_string("%03d:", "bkt").alias("pb"), "d"
+        )
+    )
+    return s1.groupBy(group).agg(
+        F.sum("n").cast("bigint").alias("_n"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.concat("pb", "d")))
+            )
+        ).alias("key_digest"),
+    )
+
+
+def _sql_two_stage_digest(src: str, group: str, key: str) -> str:
+    """DuckDB mirror of _two_stage_digest: (group, _n, key_digest)."""
+    return f"""
+        SELECT {group}, CAST(SUM(n) AS BIGINT) AS _n,
+               md5(string_agg(lpad(CAST(bkt AS VARCHAR), 3, '0') || ':' || d,
+                              ',' ORDER BY bkt)) AS key_digest
+        FROM (
+            SELECT {group}, {key} % {_DIGEST_BUCKETS} AS bkt,
+                   COUNT(*) AS n,
+                   md5(string_agg(CAST({key} AS VARCHAR), ','
+                                  ORDER BY {key})) AS d
+            FROM {src} GROUP BY {group}, bkt
+        ) GROUP BY {group}
+    """
+
+
 @register(
     "jsonl_roundtrip",
     tags=("sources", "llm"),
-    oracle="""
-        SELECT lang,
+    oracle=f"""
+        WITH dig AS ({_sql_two_stage_digest('documents', 'lang', 'doc_id')})
+        SELECT d.lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS chars_u,
-               md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                              ORDER BY doc_id)) AS docid_digest
-        FROM documents
-        GROUP BY lang ORDER BY lang
+               CAST(SUM(d.n_chars) AS BIGINT) AS chars_u,
+               ANY_VALUE(dig.key_digest) AS docid_digest
+        FROM documents d JOIN dig ON d.lang = dig.lang
+        GROUP BY d.lang ORDER BY d.lang
     """,
 )
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSONL part files → read back (explicit schema) →
-    per-lang accounting with an md5 digest over the sorted doc_id list:
-    the digest mismatches if the roundtrip drops, duplicates, or corrupts
-    a single row — the oracle computes the same report straight from the
-    parquet source of truth, so the query proves JSONL write+read is
-    lossless. JSON escaping covers the text column's arbitrary content;
-    writes are one part per partition (the landing-zone layout)."""
+    per-lang accounting with a two-stage bucketed md5 digest over the
+    doc_id set (_two_stage_digest — bounded per-group state): the digest
+    mismatches if the roundtrip drops, duplicates, or corrupts a single
+    row — the oracle computes the same report straight from the parquet
+    source of truth, so the query proves JSONL write+read is lossless.
+    JSON escaping covers the text column's arbitrary content; writes are
+    one part per partition (the landing-zone layout)."""
     docs = table(spark, sf_dir, "documents")
 
     def build(path: str) -> DataFrame:
@@ -51,19 +106,18 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, text string, lang string, source string,"
             " n_chars bigint"
         ).json(path)
+        stats = back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_u"),
+        )
+        dig = _two_stage_digest(back, "lang", "doc_id")
         return (
-            back.groupBy("lang")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum("n_chars").cast("bigint").alias("chars_u"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.sort_array(F.collect_list("doc_id")).cast(
-                            "array<string>"
-                        ),
-                    )
-                ).alias("docid_digest"),
+            stats.join(dig, "lang")
+            .select(
+                "lang",
+                "n_docs",
+                "chars_u",
+                F.col("key_digest").alias("docid_digest"),
             )
             .orderBy("lang")
         )
@@ -74,23 +128,26 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orc_roundtrip",
     tags=("sources",),
-    oracle="""
-        SELECT o_orderstatus,
+    oracle=f"""
+        WITH dig AS (
+            {_sql_two_stage_digest('orders', 'o_orderstatus', 'o_orderkey')}
+        )
+        SELECT o.o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT))
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT))
                     AS BIGINT) AS price_u,
-               md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
-                              ORDER BY o_orderkey)) AS key_digest
-        FROM orders
-        GROUP BY o_orderstatus ORDER BY o_orderstatus
+               ANY_VALUE(dig.key_digest) AS key_digest
+        FROM orders o JOIN dig ON o.o_orderstatus = dig.o_orderstatus
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
     """,
 )
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → ORC part files → read back (explicit schema) → per-status
-    accounting with exact fixed-point price sums and a key digest — same
-    losslessness contract as jsonl_roundtrip for the columnar format.
-    price_u quantizes BEFORE the write so the roundtripped value is an
-    exact BIGINT and the digest never depends on double formatting."""
+    accounting with exact fixed-point price sums and the two-stage
+    bucketed key digest — same losslessness contract as jsonl_roundtrip
+    for the columnar format. price_u quantizes BEFORE the write so the
+    roundtripped value is an exact BIGINT and the digest never depends on
+    double formatting."""
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -102,20 +159,14 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.schema(
             "o_orderkey bigint, o_orderstatus string, price_u bigint"
         ).orc(path)
+        stats = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_u").cast("bigint").alias("price_u"),
+        )
+        dig = _two_stage_digest(back, "o_orderstatus", "o_orderkey")
         return (
-            back.groupBy("o_orderstatus")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                F.sum("price_u").cast("bigint").alias("price_u"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.sort_array(F.collect_list("o_orderkey")).cast(
-                            "array<string>"
-                        ),
-                    )
-                ).alias("key_digest"),
-            )
+            stats.join(dig, "o_orderstatus")
+            .select("o_orderstatus", "n_orders", "price_u", "key_digest")
             .orderBy("o_orderstatus")
         )
 
@@ -134,11 +185,9 @@ def dpp_day_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     a documented planner contract this probe pins.) Split from the
     registered query so tests/test_plan_audit.py can assert
     `dynamicpruning` on the partitioned scan pre-checkpoint."""
-    ev = table(spark, sf_dir, "events").withColumn(
-        "event_date", F.date_format("ts", "yyyy-MM-dd")
-    )
-    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
-    back = spark.read.parquet(path)
+    from gpu_mapreduce_spark.queries.streaming_batch import write_events_bydate
+
+    ev, back = write_events_bydate(spark, sf_dir, path)
     date_dim = (
         ev.select("event_date")
         .distinct()
@@ -146,14 +195,22 @@ def dpp_day_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
         .filter(F.col("dow") == 2)  # Mondays (Spark: 1=Sunday..7=Saturday)
         .select(F.col("event_date").alias("d"))
     )
-    from gpu_mapreduce_spark.functions.numeric import dsum
-
     return (
         back.join(F.broadcast(date_dim), back.event_date == F.col("d"))
         .groupBy("event_date")
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum(F.col("value")).alias("sum_value"),
+        )
+        # the partition column re-infers as DATE on read-back; cast AFTER
+        # the grouped aggregate (casting before the join could sit between
+        # the scan and the DPP filter) so the output type matches the
+        # oracle's VARCHAR — the repo-wide convention that dates cross the
+        # hash gate as strings or epoch ms, never engine-native date types
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "n",
+            "sum_value",
         )
         .orderBy("event_date")
     )
@@ -169,11 +226,10 @@ def dpp_day_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
         )
         SELECT strftime(e.ts, '%Y-%m-%d') AS event_date,
                COUNT(*) AS n,
-               (CAST(SUM(CAST(FLOOR((value) * 10000) AS BIGINT)) AS DOUBLE)
-                / 10000) AS sum_value
+               {dsum} AS sum_value
         FROM events e JOIN days ON strftime(e.ts, '%Y-%m-%d') = days.d
         GROUP BY 1 ORDER BY event_date
-    """,
+    """.format(dsum=sql_dsum("value")),
 )
 def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning probe: per-day totals for the Monday
@@ -185,8 +241,6 @@ def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle selects the same weekday's days (DuckDB numbers Sunday=0, so
     Monday is 1 there and 2 in Spark) and aggregates them from the
     original table."""
-    from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
-
     return sink_roundtrip(
         "events_dpp_", lambda path: dpp_day_counts(spark, sf_dir, path)
     )

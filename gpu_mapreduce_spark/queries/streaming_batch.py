@@ -143,19 +143,32 @@ def events_attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.attributed_purchases(table(spark, sf_dir, "events"))
 
 
-def partitioned_week_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
-    """Write events date-partitioned (the standard time-partitioned table
-    layout), read back with a one-week predicate, aggregate. Split from the
-    registered query so tests/test_plan_audit.py can assert the read-back
-    scan carries PartitionFilters (directory pruning: the other ~23 day
-    partitions are never opened) before the result is materialized."""
+def write_events_bydate(
+    spark: SparkSession, sf_dir: str, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Events written date-partitioned to `path` (the standard
+    time-partitioned at-rest layout) and read back. Shared scaffolding of
+    the two partition-pruning probes (partitioned_week_counts here,
+    queries/formats.dpp_day_counts). Returns (original-with-event_date,
+    read-back)."""
     from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
     ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
-    back = spark.read.parquet(path)
+    return ev, spark.read.parquet(path)
+
+
+def partitioned_week_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Write events date-partitioned, read back with a one-week predicate,
+    aggregate. Split from the registered query so tests/test_plan_audit.py
+    can assert the read-back scan carries PartitionFilters (directory
+    pruning: the other ~23 day partitions are never opened) before the
+    result is materialized."""
+    from pyspark.sql import functions as F
+
+    _ev, back = write_events_bydate(spark, sf_dir, path)
     from gpu_mapreduce_spark.functions.numeric import dsum
 
     return (

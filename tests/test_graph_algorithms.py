@@ -243,3 +243,16 @@ def test_kcore_invariants_and_paths(spark):
     assert sorted(map(tuple, core.collect())) == sorted(
         map(tuple, core_s.collect())
     )
+    # the bucketed path's per-round plan must not move the arc side: its
+    # single arc join is keyed on src, which the at-rest bucketing already
+    # provides (the dst-keyed groupBy exchanges only V-row partials). An
+    # earlier kcore semi-joined arcs on BOTH endpoints — the dst-side join
+    # re-shuffled the whole O(|E|) arc table every round; this pins the fix.
+    surv = barcs.select(F.col("src").alias("v")).distinct().hint("shuffle_hash")
+    one_round = (
+        barcs.join(surv, barcs.src == surv.v, "left_semi")
+        .groupBy(F.col("dst").alias("v"))
+        .count()
+    )
+    plan = one_round._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(src" not in plan, plan

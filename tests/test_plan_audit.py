@@ -221,5 +221,5 @@ def test_events_dpp_join_prunes_dynamically(spark, tmp_path):
         f"no dynamic partition pruning on the date-partitioned scan:\n{plan}"
     )
     exec_plan = _plan_of(df)
-    for bad in ("CartesianProduct", "BatchEvalPython"):
+    for bad in ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"):
         assert bad not in exec_plan, f"{bad} in pre-checkpoint plan:\n{exec_plan}"

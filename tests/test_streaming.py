@@ -122,3 +122,49 @@ def test_hopping_stream_equals_batch(spark):
     tumbling_n = sum(r.n for r in pipeline.windowed_counts(
         table(spark, SF_DIR, "events")).collect())
     assert sum(r.n for r in batch.collect()) == 4 * tumbling_n
+
+
+def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
+    """Offset recovery across a restart: a file-source stream with a
+    checkpointLocation processes batch A, stops, the source grows by batch
+    B, and a NEW query object restarted on the SAME checkpoint processes
+    ONLY B — the parquet sink ends with exactly A+B rows, no reprocessing
+    of A and no gap. This is the exactly-once file-sink contract every
+    incremental ingest pipeline leans on; nothing else in the suite
+    exercises restart recovery."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, SF_DIR, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    a.write.parquet(str(src / "a"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(pipeline.EVENTS_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .select("event_id", "user_id")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got_a = spark.read.parquet(sink).count()
+    assert got_a == a.count()
+    b.write.parquet(str(src / "b"))
+    run_once()  # fresh query object, same checkpoint
+    final = spark.read.parquet(sink)
+    assert final.count() == a.count() + b.count()
+    # row identity, not just counts: no duplicate event_ids, none missing
+    assert final.select("event_id").distinct().count() == ev.count()
