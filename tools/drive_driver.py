@@ -1,11 +1,17 @@
-"""Simulate the round driver against __spark_entry__.py at sf0.01."""
+"""Simulate the round driver against __spark_entry__.py.
+
+Usage: python tools/drive_driver.py [SF_DIR] [skip_name ...]
+Defaults to the driver's correctness scale (sf0.01). Pass
+/root/testdata/sf0.1 plus the oracle-cost-bound names to reproduce the
+SCALE.md full-registry sweep at 10x the driver-checked scale."""
 import sys, math
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+SKIP = set(sys.argv[2:])
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.session.timeZone", "UTC")
@@ -31,9 +37,22 @@ def norm(v):
     if hasattr(v, "isoformat"): return v.isoformat()
     return v
 
-qs, os_ = e.queries(), e.oracle_sql()
+qs = e.queries()
+if SF == e.ORACLE_SF_DIR:
+    os_ = e.oracle_sql()  # exactly what the round driver consumes
+else:
+    from gpu_mapreduce_spark.registry import load_all
+    reg = load_all()
+    os_ = {
+        n: reg[n].oracle.replace("{SF_DIR}", SF)
+        for n in qs
+        if reg[n].oracle is not None
+    }
 fails = []
 for name, fn in sorted(qs.items()):
+    if name in SKIP:
+        print(f"{name}: SKIPPED (arg)")
+        continue
     sdf = fn(spark, SF)
     if name not in os_:
         print(f"{name}: rows-only, {sdf.count()} rows")
