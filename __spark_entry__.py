@@ -32,14 +32,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: reg[name].fn for name in driver_order()}
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     """Oracle SQL per query (same staleness order as queries()); `{SF_DIR}`
     templates (used by oracles that read files directly rather than the
     pre-registered views) are resolved to the driver's sf0.01 correctness
-    dir."""
+    dir. The driver calls this with no args; tools/drive_driver.py passes
+    its sweep dir so the substitution logic lives in exactly one place."""
     reg = load_all()
     return {
-        name: reg[name].oracle.replace("{SF_DIR}", ORACLE_SF_DIR)
+        name: reg[name].oracle.replace("{SF_DIR}", sf_dir)
         for name in driver_order()
         if reg[name].oracle is not None
     }

@@ -26,20 +26,27 @@ from gpu_mapreduce_spark.sources.tables import table
 _DIGEST_BUCKETS = 256
 
 
-def _two_stage_digest(back: DataFrame, group: str, key: str) -> DataFrame:
+def _two_stage_digest(
+    back: DataFrame, group: str, key: str, sum_col: str
+) -> DataFrame:
     """Row-identity digest with BOUNDED aggregation state: keys bucket by
-    key % {_DIGEST_BUCKETS}, stage 1 digests each (group, bucket)'s sorted
-    key list, stage 2 digests the zero-padded 'bucket:digest' strings per
-    group — per-group state is one bucket (stage 1) or one digest list
-    (stage 2), never the whole group's keys. (A single-stage
-    collect_list-of-all-keys digest would hold a corpus-sized group buffer
-    at the scale these probes argue — the exact unbounded state SCALE.md
-    forbids.) Zero-padding makes the stage-2 lexicographic sort equal the
-    numeric bucket order in both engines."""
+    abs(key) % {_DIGEST_BUCKETS} (abs so a future negative key cannot
+    diverge from the SQL mirror's sign rendering), stage 1 digests each
+    (group, bucket)'s sorted key list, stage 2 digests the zero-padded
+    'bucket:digest' strings per group — per-group state is one bucket
+    (stage 1) or one digest list (stage 2), never the whole group's keys.
+    (A single-stage collect_list-of-all-keys digest would hold a
+    corpus-sized group buffer at the scale these probes argue — the exact
+    unbounded state SCALE.md forbids.) Zero-padding makes the stage-2
+    lexicographic sort equal the numeric bucket order in both engines.
+    The per-group count and `sum_col` sum ride the SAME two aggregates, so
+    callers get (group, n, s, key_digest) from ONE read-back scan — no
+    second stats pass, no join."""
     s1 = (
-        back.groupBy(group, (F.col(key) % _DIGEST_BUCKETS).alias("bkt"))
+        back.groupBy(group, (F.abs(F.col(key)) % _DIGEST_BUCKETS).alias("bkt"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(sum_col).cast("bigint").alias("s"),
             F.md5(
                 F.concat_ws(
                     ",", F.sort_array(F.collect_list(key)).cast("array<string>")
@@ -47,11 +54,12 @@ def _two_stage_digest(back: DataFrame, group: str, key: str) -> DataFrame:
             ).alias("d"),
         )
         .select(
-            group, "n", F.format_string("%03d:", "bkt").alias("pb"), "d"
+            group, "n", "s", F.format_string("%03d:", "bkt").alias("pb"), "d"
         )
     )
     return s1.groupBy(group).agg(
-        F.sum("n").cast("bigint").alias("_n"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
         F.md5(
             F.concat_ws(
                 ",", F.sort_array(F.collect_list(F.concat("pb", "d")))
@@ -60,15 +68,17 @@ def _two_stage_digest(back: DataFrame, group: str, key: str) -> DataFrame:
     )
 
 
-def _sql_two_stage_digest(src: str, group: str, key: str) -> str:
-    """DuckDB mirror of _two_stage_digest: (group, _n, key_digest)."""
+def _sql_two_stage_digest(src: str, group: str, key: str, sum_expr: str) -> str:
+    """DuckDB mirror of _two_stage_digest: (group, n, s, key_digest)."""
     return f"""
-        SELECT {group}, CAST(SUM(n) AS BIGINT) AS _n,
+        SELECT {group}, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s,
                md5(string_agg(lpad(CAST(bkt AS VARCHAR), 3, '0') || ':' || d,
                               ',' ORDER BY bkt)) AS key_digest
         FROM (
-            SELECT {group}, {key} % {_DIGEST_BUCKETS} AS bkt,
+            SELECT {group}, abs({key}) % {_DIGEST_BUCKETS} AS bkt,
                    COUNT(*) AS n,
+                   CAST(SUM({sum_expr}) AS BIGINT) AS s,
                    md5(string_agg(CAST({key} AS VARCHAR), ','
                                   ORDER BY {key})) AS d
             FROM {src} GROUP BY {group}, bkt
@@ -80,13 +90,9 @@ def _sql_two_stage_digest(src: str, group: str, key: str) -> str:
     "jsonl_roundtrip",
     tags=("sources", "llm"),
     oracle=f"""
-        WITH dig AS ({_sql_two_stage_digest('documents', 'lang', 'doc_id')})
-        SELECT d.lang,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(d.n_chars) AS BIGINT) AS chars_u,
-               ANY_VALUE(dig.key_digest) AS docid_digest
-        FROM documents d JOIN dig ON d.lang = dig.lang
-        GROUP BY d.lang ORDER BY d.lang
+        SELECT lang, n AS n_docs, s AS chars_u, key_digest AS docid_digest
+        FROM ({_sql_two_stage_digest('documents', 'lang', 'doc_id', 'n_chars')})
+        ORDER BY lang
     """,
 )
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,17 +112,12 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, text string, lang string, source string,"
             " n_chars bigint"
         ).json(path)
-        stats = back.groupBy("lang").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("chars_u"),
-        )
-        dig = _two_stage_digest(back, "lang", "doc_id")
         return (
-            stats.join(dig, "lang")
+            _two_stage_digest(back, "lang", "doc_id", "n_chars")
             .select(
                 "lang",
-                "n_docs",
-                "chars_u",
+                F.col("n").alias("n_docs"),
+                F.col("s").alias("chars_u"),
                 F.col("key_digest").alias("docid_digest"),
             )
             .orderBy("lang")
@@ -129,16 +130,11 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orc_roundtrip",
     tags=("sources",),
     oracle=f"""
-        WITH dig AS (
-            {_sql_two_stage_digest('orders', 'o_orderstatus', 'o_orderkey')}
-        )
-        SELECT o.o_orderstatus,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(FLOOR(o.o_totalprice * 10000) AS BIGINT))
-                    AS BIGINT) AS price_u,
-               ANY_VALUE(dig.key_digest) AS key_digest
-        FROM orders o JOIN dig ON o.o_orderstatus = dig.o_orderstatus
-        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+        SELECT o_orderstatus, n AS n_orders, s AS price_u, key_digest
+        FROM ({_sql_two_stage_digest(
+            'orders', 'o_orderstatus', 'o_orderkey',
+            'CAST(FLOOR(o_totalprice * 10000) AS BIGINT)')})
+        ORDER BY o_orderstatus
     """,
 )
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,14 +155,14 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.schema(
             "o_orderkey bigint, o_orderstatus string, price_u bigint"
         ).orc(path)
-        stats = back.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum("price_u").cast("bigint").alias("price_u"),
-        )
-        dig = _two_stage_digest(back, "o_orderstatus", "o_orderkey")
         return (
-            stats.join(dig, "o_orderstatus")
-            .select("o_orderstatus", "n_orders", "price_u", "key_digest")
+            _two_stage_digest(back, "o_orderstatus", "o_orderkey", "price_u")
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("s").alias("price_u"),
+                "key_digest",
+            )
             .orderBy("o_orderstatus")
         )
 

@@ -7,7 +7,12 @@ Usage:
 Prints one row per benched query: measured seconds, baseline seconds, and
 the ratio, flagging anything past the 2x regression bar (BASELINE.md
 "Consolidated r04 bench-set baseline"). Queries whose baseline is an r04
-local range compare against the range's upper end.
+local range compare against the range's upper end. A baselined query that
+errored or vanished from the run counts as a regression — bench.py's
+fault isolation must never read as a pass. (Corollary: artifacts recorded
+BEFORE a query joined the bench set, e.g. BENCH_r03 vs the r04 baseline
+table, flag those later additions as missing — the gate is for current
+runs, strictness is the point.)
 """
 
 from __future__ import annotations
@@ -53,9 +58,11 @@ BASELINE: dict[str, float] = {
 def main() -> None:
     raw = json.load(sys.stdin)
     # accept both bench.py stdout and the driver's BENCH_rNN.json wrapper
-    payload = raw.get("parsed", raw)
+    # ("parsed" can be null when a round's bench run failed — fall back)
+    payload = raw.get("parsed") or raw
     queries = payload.get("queries", {})
-    if not queries:
+    errors = payload.get("errors") or {}
+    if not queries and not errors:
         print("no queries map in input", file=sys.stderr)
         sys.exit(2)
     regressions = []
@@ -70,9 +77,17 @@ def main() -> None:
         if ratio > 2.0:
             regressions.append(name)
         print(f"{name:32s} {sec:8.3f} {base:8.3f} {ratio:6.2f}{flag}")
+    # a baselined query that ERRORED or silently vanished from the run is
+    # the worst regression there is — bench.py's per-query fault isolation
+    # diverts failures to the 'errors' map, which must not read as a pass
+    for name in sorted(set(BASELINE) - set(queries)):
+        why = errors.get(name, "missing from run")
+        print(f"{name:32s} {'--':>8s} {BASELINE[name]:8.3f}   FAIL  <-- {why}")
+        regressions.append(name)
     total = payload.get("value")
     print(f"\ntotal: {total} s over {len(queries)} queries; "
-          f"regressions past 2x: {regressions or 'none'}")
+          f"regressions past 2x (incl. errored/missing): "
+          f"{regressions or 'none'}")
     sys.exit(1 if regressions else 0)
 
 

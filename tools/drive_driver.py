@@ -38,16 +38,7 @@ def norm(v):
     return v
 
 qs = e.queries()
-if SF == e.ORACLE_SF_DIR:
-    os_ = e.oracle_sql()  # exactly what the round driver consumes
-else:
-    from gpu_mapreduce_spark.registry import load_all
-    reg = load_all()
-    os_ = {
-        n: reg[n].oracle.replace("{SF_DIR}", SF)
-        for n in qs
-        if reg[n].oracle is not None
-    }
+os_ = e.oracle_sql(SF)  # same substitution path the round driver consumes
 fails = []
 for name, fn in sorted(qs.items()):
     if name in SKIP:
