@@ -113,6 +113,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     k: int = 3,
     split_id: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard >= threshold, via prefix
     filtering: shingles ordered globally by (frequency, shingle); a doc with
@@ -125,12 +126,23 @@ def jaccard_pairs(
     with a < split_id <= b are generated — the restriction is applied at
     the candidate join itself, so within-set pairs never materialize (at
     scale the delta batch is tiny next to the corpus, and this keeps
-    candidate volume proportional to the delta)."""
-    # widen before shingling: a small parquet corpus arrives in 2-3 input
-    # splits, which would strand the compute-bound shingle build AND every
-    # post-checkpoint hash pass on as many cores (SCALE.md checkpoint hygiene)
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    sh = shingle_set(corpus, k).localCheckpoint(eager=True)
+    candidate volume proportional to the delta).
+
+    `shingles` injects a prebuilt (doc_id, sh) index — SCALE.md names the
+    corpus-side shingle index as the reusable at-rest artifact of
+    incremental dedup, and callers that run per batch (queries/
+    dedup_incremental.py session-memoizes it via fixtures.derived) must
+    not rebuild and re-checkpoint it on every invocation."""
+    if shingles is None:
+        # widen before shingling: a small parquet corpus arrives in 2-3
+        # input splits, which would strand the compute-bound shingle build
+        # AND every post-checkpoint hash pass on as many cores (SCALE.md
+        # checkpoint hygiene)
+        corpus = corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        shingles = shingle_set(corpus, k).localCheckpoint(eager=True)
+    sh = shingles
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     ordered = (
         sh.join(freq, "sh")
@@ -165,7 +177,10 @@ def jaccard_pairs(
 
 
 def incremental_status(
-    corpus: DataFrame, split_id: int = 1_000_000, threshold: float = 0.8
+    corpus: DataFrame,
+    split_id: int = 1_000_000,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: classify each NEW-batch document (doc_id >=
     split_id) against the EXISTING corpus (doc_id < split_id) — the shape a
@@ -192,7 +207,7 @@ def incremental_status(
         "doc_id", F.md5(_norm(F.col("text")).cast("binary")).alias("fp")
     )
     near = (
-        jaccard_pairs(corpus, threshold, split_id=split_id)
+        jaccard_pairs(corpus, threshold, split_id=split_id, shingles=shingles)
         .groupBy(F.col("b").alias("doc_id"))
         .agg(F.min("a").alias("near_match"))
     )

@@ -69,7 +69,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching existing doc, -1 for novel (operators/dedup.incremental_status). The near
     tier uses cross-set prefix filtering — candidate generation COMPLETE
     and proportional to the delta — so the exact all-pairs cross-set SQL
-    oracle matches with no recall residue."""
+    oracle matches with no recall residue. The shingle index (SCALE.md's
+    reusable at-rest artifact of incremental dedup) is session-memoized
+    via fixtures.derived: per batch only the classification joins run,
+    the checkpointed index builds once."""
+    shingles = fixtures.derived(
+        spark,
+        sf_dir,
+        "inc_shingles",
+        lambda: dedup.shingle_set(
+            fixtures.corpus(spark, sf_dir).repartition(
+                spark.sparkContext.defaultParallelism
+            ),
+            k=3,
+        ).localCheckpoint(eager=True),
+    )
     return dedup.incremental_status(
-        fixtures.corpus(spark, sf_dir), split_id=_SPLIT, threshold=0.8
+        fixtures.corpus(spark, sf_dir),
+        split_id=_SPLIT,
+        threshold=0.8,
+        shingles=shingles,
     )
