@@ -100,12 +100,19 @@ def _bucketed_by_src(df: DataFrame, tag: str, nbuckets: int) -> DataFrame:
     BY src — the at-rest layout of the no-broadcast iterative path. The
     bucketed scan reports HashPartitioning(src, nbuckets), so a
     shuffle-hash state join needs no exchange on the arc side: per round
-    only the O(|V|) state moves. Written once per (session, tag) into a temp
-    warehouse dir (on a cluster: written once at ingest)."""
+    only the O(|V|) state moves. Written once per (session, tag, input plan)
+    into a temp warehouse dir (on a cluster: written once at ingest).
+
+    The memo key AND the catalog table name both fold in the input's
+    canonicalized-plan hash: `tag` alone is not an identity — two different
+    edge sets (e.g. two sf dirs) passing the same tag in one session would
+    otherwise silently share one bucketed table (and a name-only overwrite
+    would flip earlier handles onto the later data)."""
     import tempfile
 
     spark = df.sparkSession
-    tbl = f"arcs_by_src_{tag}_{nbuckets}"
+    plan_id = df.semanticHash() & 0xFFFFFFFF
+    tbl = f"arcs_by_src_{tag}_{nbuckets}_{plan_id:08x}"
     key = (spark.sparkContext.applicationId, tbl)
     if key not in _BUCKETED_ARCS:
         path = tempfile.mkdtemp(prefix=f"{tbl}_")
@@ -127,6 +134,16 @@ def prepare_arcs_bucketed(
     """Bidirected arc table bucketed by src at rest — the 100-TB dual of
     prepare_arcs, for cc_find/luby_find with ``broadcast_state=False``."""
     return _bucketed_by_src(bidirect(edges), tag, nbuckets)
+
+
+def prepare_warcs_bucketed(
+    warcs: DataFrame, tag: str, nbuckets: int = 16
+) -> DataFrame:
+    """Weighted arc table (src, dst, wu) bucketed by src at rest — the
+    100-TB dual of prepare_warcs, for sssp/sssp_multi with
+    ``broadcast_state=False``. `warcs` must already be bidirected
+    (weighted_arcs output)."""
+    return _bucketed_by_src(warcs, tag, nbuckets)
 
 
 def prepare_arcs_deg_bucketed(
@@ -289,6 +306,7 @@ def sssp(
     source: int,
     max_iter: int = 50,
     arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, int]:
     """Single-source shortest paths by frontier relaxation
     (oink/sssp.cpp:49-180: seed source, loop {push dist+weight to neighbors,
@@ -301,8 +319,12 @@ def sssp(
 
     Only the changed frontier is joined against the arc list each round —
     the reference's `mr_dist_changed` set — so per-round shuffle volume is
-    O(frontier ⋈ arcs), not O(V ⋈ arcs). Returns ((v, du) for *reached*
-    vertices, rounds).
+    O(frontier ⋈ arcs), not O(V ⋈ arcs). The frontier is usually tiny, but
+    on a low-diameter graph the mid-BFS frontier is O(|V|): when |V|
+    outgrows broadcast range pass ``broadcast_state=False`` together with
+    ``arcs=prepare_warcs_bucketed(...)`` — the same beyond-broadcast path as
+    cc_find/pagerank/luby_find/kcore (module docstring). Returns ((v, du)
+    for *reached* vertices, rounds).
     """
     if arcs is None:
         arcs = prepare_warcs(warcs)
@@ -314,7 +336,7 @@ def sssp(
     def step(state: DataFrame) -> DataFrame:
         frontier = state.filter("changed")
         cand = (
-            arcs.join(F.broadcast(frontier), frontier.v == arcs.src)
+            arcs.join(_state_side(frontier, broadcast_state), frontier.v == arcs.src)
             .groupBy(F.col("dst").alias("cv"))
             .agg(F.min(F.col("du") + F.col("wu")).alias("nd"))
         )
@@ -336,6 +358,7 @@ def sssp_multi(
     sources: list[int],
     max_iter: int = 50,
     arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, int]:
     """Multi-source shortest paths in ONE synchronous loop.
 
@@ -345,8 +368,11 @@ def sssp_multi(
     keys the frontier by source `s`, so every source relaxes in the same
     rounds over the same arc scan: total rounds = MAX per-source rounds
     instead of their SUM, and each round's join amortizes the arc-table
-    read across all sources. Same exact integer-unit discipline as sssp().
-    Returns ((s, v, du) for reached vertices, rounds)."""
+    read across all sources. Same exact integer-unit discipline and
+    ``broadcast_state=False`` beyond-broadcast path as sssp() — the keyed
+    frontier is |sources| times bigger, so the broadcast ceiling arrives
+    correspondingly sooner here. Returns ((s, v, du) for reached vertices,
+    rounds)."""
     if arcs is None:
         arcs = prepare_warcs(warcs)
     spark = arcs.sparkSession
@@ -358,7 +384,7 @@ def sssp_multi(
     def step(state: DataFrame) -> DataFrame:
         frontier = state.filter("changed")
         cand = (
-            arcs.join(F.broadcast(frontier), frontier.v == arcs.src)
+            arcs.join(_state_side(frontier, broadcast_state), frontier.v == arcs.src)
             .groupBy(F.col("s").alias("cs"), F.col("dst").alias("cv"))
             .agg(F.min(F.col("du") + F.col("wu")).alias("nd"))
         )
