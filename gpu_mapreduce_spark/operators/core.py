@@ -101,6 +101,7 @@ def add(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def broadcast_small(df: DataFrame) -> DataFrame:
     """Replicate to every node for join purposes (src/mapreduce.cpp:569-629)."""
+    # bcast-audit: bounded by the operator's contract (caller owns the size bound)
     return F.broadcast(df)
 
 

@@ -132,7 +132,14 @@ def jaccard_pairs(
     corpus-side shingle index as the reusable at-rest artifact of
     incremental dedup, and callers that run per batch (queries/
     dedup_incremental.py session-memoizes it via fixtures.derived) must
-    not rebuild and re-checkpoint it on every invocation."""
+    not rebuild and re-checkpoint it on every invocation.
+
+    CONTRACT (ADVICE r04): when `shingles` is given, `corpus` is IGNORED
+    entirely — the index is the input. The caller owns consistency: the
+    injected index must have been built by shingle_set over the intended
+    corpus with the same `k` and normalization, or the returned pairs are
+    silently wrong (there is no cheap way to validate an index against a
+    corpus without rebuilding it, which would defeat the injection)."""
     if shingles is None:
         # widen before shingling: a small parquet corpus arrives in 2-3
         # input splits, which would strand the compute-bound shingle build
@@ -318,6 +325,7 @@ def minhash_lsh_pairs(
     db = docs.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     return (
+        # bcast-audit: bounded (banding-bounded candidate set)
         da.join(F.broadcast(cand), "a")
         .join(db, "b")
         .select(

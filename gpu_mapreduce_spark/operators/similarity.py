@@ -61,6 +61,7 @@ def cosine_topk(
     embeddings: (vec_id, embedding ARRAY<FLOAT>); queries: (qid, qe).
     Self-matches (vec_id == qid) are excluded. Output (qid, vec_id, sim_e6),
     ranked by (sim_e6 DESC, vec_id)."""
+    # bcast-audit: bounded (fixed query set)
     pairs = embeddings.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("qid")
     )
@@ -168,6 +169,7 @@ def lsh_topk(
     ).select("qid", "qe", "e.band", "e.bv")
 
     cand = (
+        # bcast-audit: bounded (query-side band entries)
         e_entries.join(F.broadcast(q_entries), ["band", "bv"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "qe", "vec_id", "embedding")
@@ -243,6 +245,7 @@ def ivf_topk(
     )
     # cell assignment: nearest centroid per corpus vector (ties -> lower cid)
     assigned = (
+        # bcast-audit: bounded (k centroids)
         embeddings.crossJoin(F.broadcast(centroids))
         .select(
             "vec_id",
@@ -260,6 +263,7 @@ def ivf_topk(
     # probe: nprobe nearest cells per query
     w_probe = Window.partitionBy("qid").orderBy(F.desc("qcs"), F.asc("cid"))
     probes = (
+        # bcast-audit: bounded (k centroids)
         queries.crossJoin(F.broadcast(centroids))
         .select(
             "qid", "qe", "cid", _quantized_sim(F.col("qe"), F.col("ce")).alias("qcs")
@@ -269,6 +273,7 @@ def ivf_topk(
         .select("qid", "qe", "cid")
     )
     scored = (
+        # bcast-audit: bounded (probe list ∝ query set)
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -321,6 +326,7 @@ def dup_pairs(
         F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
     )
     return (
+        # bcast-audit: bounded (hard-guarded <=100k-row recall baseline)
         left.join(F.broadcast(right), F.col("a") < F.col("b"))
         .select("a", "b", _quantized_sim(F.col("ea"), F.col("eb")).alias("sim_e6"))
         .filter(F.col("sim_e6") >= F.lit(threshold_e6))

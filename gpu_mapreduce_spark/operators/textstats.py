@@ -203,6 +203,7 @@ def contamination(
         .distinct()
     )
     hits = (
+        # bcast-audit: bounded (fixed benchmark gram set)
         grams.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_contam"))
@@ -255,12 +256,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def pack_sequences(
-    docs: DataFrame, capacity: int = 512, shards: int = 8
+def pack_assignments(
+    docs: DataFrame,
+    capacity: int = 512,
+    shards: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Sequence packing for training batches: assign whole documents to
-    fixed-token-budget bins (the step that turns a cleaned corpus into
-    constant-length training rows; beyond-reference, builder brief).
+    """Per-document packing layout: (doc_id, shard, n_tokens, bin [, carry
+    columns]) — the assignment table pack_sequences summarizes and the
+    shard sink (queries/training_sink.py) writes out as training shards.
 
     True first-fit packing is a sequential recurrence, so the scale form is
     the standard start-offset relaxation: within a shard (doc_id % shards —
@@ -268,10 +272,9 @@ def pack_sequences(
     and a doc starts in bin = (its start offset) div capacity. Each bin's
     total can exceed capacity by at most one straddling doc (max doc len -
     1 overflow) — the bounded slack streaming packers accept. One
-    SHARD-PARTITIONED window cumsum (never a global window) + one
-    (shard, bin) groupBy; both deterministic, so the DuckDB oracle replays
-    the identical layout and the per-bin doc_id digest proves assignment
-    byte-for-byte."""
+    SHARD-PARTITIONED window cumsum (never a global window); deterministic,
+    so a SQL oracle replays the identical layout. `carry` columns (e.g.
+    text) ride the one shard-keyed exchange — no join-back needed."""
     from pyspark.sql import Window
 
     t = tokens(F.col("text"))
@@ -279,6 +282,7 @@ def pack_sequences(
         "doc_id",
         (F.col("doc_id") % shards).cast("int").alias("shard"),
         F.size(t).cast("bigint").alias("n_tokens"),
+        *carry,
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
     laid = sized.select(
@@ -286,13 +290,27 @@ def pack_sequences(
         "shard",
         "n_tokens",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+        *carry,
     )
-    binned = laid.select(
+    return laid.select(
         "doc_id",
         "shard",
         "n_tokens",
         F.expr(f"start_off div {capacity}").cast("bigint").alias("bin"),
+        *carry,
     )
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = 512, shards: int = 8
+) -> DataFrame:
+    """Sequence packing for training batches: assign whole documents to
+    fixed-token-budget bins (the step that turns a cleaned corpus into
+    constant-length training rows; beyond-reference, builder brief).
+    Layout semantics and scale notes: pack_assignments. This form adds the
+    per-bin summary groupBy whose doc_id digest proves the assignment
+    byte-for-byte against the oracle's replay."""
+    binned = pack_assignments(docs, capacity, shards)
     return binned.groupBy("shard", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),

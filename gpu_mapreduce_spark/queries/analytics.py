@@ -237,17 +237,20 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = (
         table(spark, sf_dir, "nation")
+        # bcast-audit: bounded (region: <=5 rows at any sf)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name")
     )
     sn = (
         table(spark, sf_dir, "supplier")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     c = (
         table(spark, sf_dir, "customer")
         .join(
+            # bcast-audit: bounded (nation: <=25 rows at any sf)
             F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"))),
             F.col("c_nationkey") == F.col("cn_key"),
         )
@@ -275,6 +278,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         l.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
+            # bcast-audit: sf-dim (supplier x nation) — SCALE.md broadcast audit
             F.broadcast(sn),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),

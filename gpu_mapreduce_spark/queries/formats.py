@@ -192,6 +192,7 @@ def dpp_day_counts(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
         .select(F.col("event_date").alias("d"))
     )
     return (
+        # bcast-audit: bounded (calendar-day dim)
         back.join(F.broadcast(date_dim), back.event_date == F.col("d"))
         .groupBy("event_date")
         .agg(

@@ -66,4 +66,13 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     core, _rounds = graph_iter.kcore(
         fixtures.edges(spark, sf_dir), k=_K, arcs=_arcs(spark, sf_dir)
     )
+    # the oracle replays exactly _STAGES peel rounds; peeling is idempotent
+    # AT the fixpoint, so an unroll shortfall would surface as a silent
+    # hash mismatch that looks like an operator bug — fail loudly instead
+    # (ADVICE r04). Measured max is 6 rounds; margin 8.
+    if _rounds > _STAGES:
+        raise AssertionError(
+            f"kcore converged in {_rounds} rounds > oracle unroll {_STAGES};"
+            " raise _STAGES (oracle shortfall, not an operator bug)"
+        )
     return core.orderBy("v")

@@ -94,8 +94,10 @@ def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).withColumn(
         "k", F.lit(1)
     )
+    # bcast-audit: bounded (1-row corpus count)
     df_n = df.withColumn("k", F.lit(1)).join(F.broadcast(n), "k")
     return (
+        # bcast-audit: bounded (df rows <= the query's own token set)
         tf.join(F.broadcast(df_n), "tok")
         .withColumn(
             "w",

@@ -145,6 +145,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast only the filtered dim (customer); orders⋈lineitem stays a
     # key-partitioned big-big join (bucketable on orderkey at cluster scale)
     co = (
+        # bcast-audit: sf-dim (filtered customer) — SCALE.md broadcast audit
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_orderdate")
     )
@@ -203,6 +204,7 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
     )
     co = (
+        # bcast-audit: sf-dim (filtered customer) — SCALE.md broadcast audit
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_orderdate")
     )
@@ -361,6 +363,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    # bcast-audit: sf-dim (part) — SCALE.md broadcast audit
     agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
         dsum(promo).alias("promo_revenue"),
         dsum(rev).alias("total_revenue"),
@@ -467,10 +470,12 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     ok = ps.join(
+        # bcast-audit: sf-dim (filtered supplier) — SCALE.md broadcast audit
         F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti"
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
     return (
+        # bcast-audit: sf-dim (part) — SCALE.md broadcast audit
         ok.join(F.broadcast(p), ok.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -521,6 +526,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ol.join(c, ol.o_custkey == c.c_custkey)
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("rev")).alias("revenue"))
@@ -663,8 +669,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.withColumn("_k", F.lit(1))
+        # bcast-audit: bounded (1-row scalar build)
         .join(F.broadcast(mx), "_k")
         .filter(F.col("total_revenue") == F.col("max_rev"))
+        # bcast-audit: sf-dim (supplier) — SCALE.md broadcast audit
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -710,6 +718,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
+    # bcast-audit: sf-dim (filtered part) — SCALE.md broadcast audit
     pl = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -781,6 +790,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         disj = band if disj is None else (disj | band)
     return (
+        # bcast-audit: sf-dim (filtered part) — SCALE.md broadcast audit
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(disj)
         .agg(
@@ -872,6 +882,7 @@ def q21_waiting_supplier(
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
+        # bcast-audit: sf-dim (supplier) — SCALE.md broadcast audit
         sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
@@ -929,6 +940,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rich = (
         c.withColumn("_k", F.lit(1))
+        # bcast-audit: bounded (1-row scalar build)
         .join(F.broadcast(pos), "_k")
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
     )

@@ -63,11 +63,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
     s = (
         table(spark, sf_dir, "supplier")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     c = (
         table(spark, sf_dir, "customer")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
@@ -77,6 +79,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
+        # bcast-audit: sf-dim (supplier) — SCALE.md broadcast audit
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -136,6 +139,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # bcast-audit: bounded (nation: <=25 rows at any sf)
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation")
     )
@@ -146,7 +150,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
+        # bcast-audit: sf-dim (filtered part) — SCALE.md broadcast audit
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # bcast-audit: sf-dim (supplier x nation) — SCALE.md broadcast audit
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -213,6 +219,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     s = (
         table(spark, sf_dir, "supplier")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
@@ -223,11 +230,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n2 = (
         table(spark, sf_dir, "nation")
+        # bcast-audit: bounded (region: <=5 rows at any sf)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(F.col("n_nationkey").alias("c_nkey"))
     )
     c = (
         table(spark, sf_dir, "customer")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .select("c_custkey")
     )
@@ -241,7 +250,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     joined = (
+        # bcast-audit: sf-dim (filtered part) — SCALE.md broadcast audit
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # bcast-audit: sf-dim (supplier) — SCALE.md broadcast audit
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
               li.l_orderkey == F.col("o_orderkey"))
@@ -313,6 +324,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only ~2% of pairs survive, so the dominant shuffle shrinks ~50x
         # (the q7/q19 scan-reduction discipline applied to the aggregate)
         li.join(
+            # bcast-audit: sf-dim (filtered part keys) — SCALE.md broadcast audit
             F.broadcast(p.select("p_partkey")),
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
@@ -335,6 +347,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
+        # bcast-audit: sf-dim (filtered part) — SCALE.md broadcast audit
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
@@ -342,7 +355,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("packed") % 1000000000).cast("bigint").alias("s_suppkey"),
             F.expr("packed div 1000000000").cast("bigint").alias("min_cost_u"),
         )
+        # bcast-audit: sf-dim (supplier) — SCALE.md broadcast audit
         .join(F.broadcast(s), "s_suppkey")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(
             "p_partkey", "p_brand", "s_suppkey", "min_cost_u",
@@ -418,6 +433,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = (
         table(spark, sf_dir, "supplier")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
@@ -425,6 +441,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
+        # bcast-audit: sf-dim (filtered supplier set) — SCALE.md broadcast audit
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
     )
     per = (
@@ -440,6 +457,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("k", F.lit(1))
     return (
         per.withColumn("k", F.lit(1))
+        # bcast-audit: bounded (1-row scalar build)
         .join(F.broadcast(tot), "k")
         .filter(F.col("value_u") * F.col("n_parts") > 2 * F.col("total_u"))
         .select("ps_partkey", "value_u")
@@ -499,6 +517,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(_Q20_END).cast("timestamp"))
     )
     q = (
+        # bcast-audit: sf-dim (filtered part keys) — SCALE.md broadcast audit
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("qty_u"))
@@ -513,7 +532,9 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         table(spark, sf_dir, "supplier")
+        # bcast-audit: sf-dim (qualifying-supplier set) — SCALE.md broadcast audit
         .join(F.broadcast(f), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # bcast-audit: bounded (nation: <=25 rows at any sf)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
         .orderBy("s_suppkey")

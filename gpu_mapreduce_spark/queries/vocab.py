@@ -58,6 +58,7 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = freq.agg(F.sum("cnt").cast("bigint").alias("n"))
     topk = freq.orderBy(F.desc("cnt"), "t").limit(_TOP)
     return (
+        # bcast-audit: bounded (1-row total)
         topk.join(F.broadcast(total))
         .select(
             F.col("t").alias("token"),

@@ -88,6 +88,11 @@ def load_all() -> dict[str, QueryDef]:
             pipeline_ops,
             formats,
             embedding_analytics,
+            # r05 tail (behind the 20 never-checked late-r04 entries AND
+            # ahead of nothing: never-green ties break by registration
+            # order, so these take window slots only after every older
+            # never-green query)
+            training_sink,
         )
 
         _loaded = True

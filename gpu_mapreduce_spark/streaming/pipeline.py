@@ -109,6 +109,7 @@ def enriched_type_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
     slowly-changing dimension picks up updates between batches), and the
     explicit broadcast keeps the stream side shuffle-free: the same plan a
     100-TB batch enrichment wants."""
+    # bcast-audit: sf-dim (stream-static customer; cluster scale: state-store join)
     dim = F.broadcast(
         customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )

@@ -15,6 +15,9 @@ from gpu_mapreduce_spark.session import get_spark
 from gpu_mapreduce_spark.sources.tables import TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# the driver's exact correctness scale — for tests that deliberately pin
+# sf0.01 regardless of the SF_DIR override (e.g. LSH-recall pins)
+SF001_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from gpu_mapreduce_spark.operators import dedup
 from gpu_mapreduce_spark.sources import fixtures
-from tests.conftest import SF_DIR
+from tests.conftest import SF001_DIR, SF_DIR
 
 
 def test_lsh_sound_and_high_recall(spark):
@@ -66,7 +66,7 @@ def test_lsh_recall_is_exact_at_driver_scale(spark):
     at sf0.01 the LSH pair set EQUALS the exact pair set, so the residual
     risk is zero for every shipped scale, not just overwhelmingly
     unlikely."""
-    c = fixtures.corpus(spark, "/root/testdata/sf0.01")
+    c = fixtures.corpus(spark, SF001_DIR)
     exact = {(r.a, r.b) for r in dedup.jaccard_pairs(c, 0.8).collect()}
     lsh = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(c, 0.8).collect()}
     assert len(exact) > 0

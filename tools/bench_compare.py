@@ -19,40 +19,15 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
-# Operative baselines: BENCH_r03 values where benched in r03, else the
-# upper end of the r04 local steady-state range recorded in BASELINE.md.
-BASELINE: dict[str, float] = {
-    "luby_find": 5.8,
-    "dedup_incremental": 5.1,
-    "sssp": 2.423,
-    "pagerank": 2.334,
-    "kcore": 2.2,
-    "kmeans_2d": 1.812,
-    "dedup_minhash_lsh": 1.757,
-    "cc_find_skew": 1.354,
-    "q21_waiting_supplier": 1.3,
-    "cc_find": 1.302,
-    "q5_region_revenue": 1.199,
-    "skew_join_salted": 1.134,
-    "pipeline_clean_corpus": 1.012,
-    "q3_top_orders": 0.875,
-    "ann_bruteforce_topk": 0.752,
-    "tfidf_search_topk": 0.7,
-    "asof_join_events": 0.661,
-    "q3_bucketed": 0.570,
-    "tri_count": 0.516,
-    "events_hopping": 0.5,
-    "degree_stats": 0.490,
-    "q1_pricing_summary": 0.416,
-    "pii_redact": 0.3,
-    "events_windowed": 0.289,
-    "inverted_index": 0.284,
-    "wordfreq_topk": 0.267,
-    "textstats_tokens": 0.252,
-    "intcount": 0.247,
-    "q6_forecast_revenue": 0.196,
-}
+# Single machine-readable source next to BASELINE.md — a second hardcoded
+# copy here would drift as rounds re-baseline and turn the 2x gate into
+# noise (ADVICE r04).
+_BASELINE_PATH = Path(__file__).resolve().parents[1] / "BASELINE_BENCH.json"
+BASELINE: dict[str, float] = json.loads(_BASELINE_PATH.read_text())[
+    "baseline_sec"
+]
 
 
 def main() -> None:
