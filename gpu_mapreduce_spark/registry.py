@@ -93,6 +93,7 @@ def load_all() -> dict[str, QueryDef]:
             # order, so these take window slots only after every older
             # never-green query)
             training_sink,
+            kcore_rmat,
         )
 
         _loaded = True
