@@ -445,3 +445,91 @@ def simhash_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def winnow_fingerprints(
+    corpus: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): hash every word k-gram, slide a w-wide window over the hash
+    sequence, keep each window's MINIMUM — the classic local fingerprinting
+    guarantee that any shared passage of >= w + k - 1 tokens between two
+    documents yields at least one shared fingerprint, while only ~1/w of
+    the grams are ever emitted. The PASSAGE-level dedup tier between
+    doc-level MinHash (whole-doc similarity) and exact substring dedup
+    (suffix-array cost): it catches a copied paragraph inside an otherwise
+    novel document, which no whole-doc Jaccard threshold will.
+
+    Pure array expressions (transform/sequence/slice/array_min), zero
+    Python, one scan. The gram hash is the portable md5-hex-slice form so
+    a SQL oracle assigns IDENTICAL fingerprints (the luby_find discipline).
+    Output: (doc_id, fp) — DISTINCT fingerprints per doc. Docs with fewer
+    than k tokens emit nothing; docs with fewer than w grams emit their
+    single whole-doc minimum."""
+    from gpu_mapreduce_spark.operators.textstats import _ngrams
+
+    toks = tokens(F.col(text_col))
+    grams = _ngrams(toks, k)
+    # The hash array MUST be materialized as its own projection before the
+    # window pass: spliced directly into the window lambda it is re-codegen'd
+    # PER WINDOW (the lambda body re-evaluates every md5 for every window —
+    # O(grams x windows) per doc, measured 62 s vs 2 s at sf0.01). As a
+    # multiply-referenced non-trivial alias, CollapseProject keeps it a real
+    # attribute and each window's slice is an O(w) array read.
+    hashed = corpus.select(
+        "doc_id",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("hs"),
+    )
+    h = F.col("hs")
+    nwin = F.size(h) - (w - 1)
+    fps = (
+        F.when(
+            nwin >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.array_min(F.slice(h, i, w)),
+            ),
+        )
+        .when(F.size(h) >= 1, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def passage_dup_pairs(
+    corpus: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 64,
+) -> DataFrame:
+    """Passage-duplicate candidate pairs: docs sharing >= min_shared
+    winnowing fingerprints, after dropping BOILERPLATE fingerprints that
+    appear in more than max_fp_freq documents (licence headers, navigation
+    chrome — the same hot-key exclusion as jaccard's prefix filter: a
+    fingerprint shared by thousands of docs identifies boilerplate, not
+    copying, and would otherwise be a quadratic hot join key). Candidate
+    generation is an equi-join on the surviving fingerprint keys — volume
+    is sum over fps of freq^2 with freq <= max_fp_freq, never corpus^2.
+    Output: (a, b, shared_fps) with a < b."""
+    fp = winnow_fingerprints(corpus, k, w)
+    freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("f"))
+    keep = fp.join(
+        freq.filter(F.col("f") <= max_fp_freq).select("fp"), "fp"
+    )
+    fa = keep.select(F.col("doc_id").alias("a"), "fp")
+    fb = keep.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        fa.join(fb, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -83,3 +83,29 @@ def combiner_concat(kv: DataFrame, key: str = "k", val: str = "v") -> DataFrame:
             "vals"
         )
     )
+
+
+def ngram_counts(
+    docs: DataFrame, n: int = 2, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus word n-gram counts with min-count pruning — wordfreq's
+    (examples/wordfreq.cpp:64-87) n-gram generalization and the
+    language-model-counts workload (KenLM-style corpus prep: count all
+    n-gram occurrences, prune singletons). Occurrences are counted, not
+    per-doc presence — within-doc repeats count.
+
+    Scale: one explode + ONE partially-aggregated shuffle on the gram key
+    (map-side combine collapses hot grams per partition before the
+    exchange — the same property that makes wordfreq's shuffle bounded);
+    the min-count prune runs post-aggregate where it belongs (pruning
+    pre-aggregate would need the very counts it prunes by)."""
+    from gpu_mapreduce_spark.operators.textstats import _ngrams, tokens
+
+    grams = docs.select(
+        F.explode(_ngrams(tokens(F.col(text_col)), n)).alias("g")
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -94,6 +94,7 @@ def load_all() -> dict[str, QueryDef]:
             # never-green query)
             training_sink,
             kcore_rmat,
+            corpus_lm,
         )
 
         _loaded = True
