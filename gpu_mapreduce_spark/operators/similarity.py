@@ -197,28 +197,20 @@ def _quantized_sim(a: Column, b: Column) -> Column:
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    seed: int = 11,
-) -> DataFrame:
-    """Approximate top-k via an inverted file (IVF-flat).
+def ivf_build(
+    embeddings: DataFrame, n_centroids: int = 16, seed: int = 11
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-flat index build: (centroids (cid, ce), assignment
+    (vec_id, embedding, cid)).
 
-    Build: centroids = `n_centroids` hash-sampled corpus vectors
-    (deterministic: lowest portable-hash(seed|vec_id) ranks, the same
-    md5-hex-slice hash DuckDB can replay — at 100 TB this sampling pass is
-    a TABLESAMPLE + optional k-means refinement, same layout); every corpus
-    vector is assigned to its nearest centroid (one pass against the
-    broadcast centroid set — the cell assignment is computed ONCE and
-    persists, amortized over all queries).
-    Probe: each query re-ranks only its `nprobe` nearest cells by exact
-    quantized cosine. Probe cost ∝ nprobe/n_centroids of the corpus instead
-    of all of it; recall vs cosine_topk asserted in tests.
-
-    Output shape matches cosine_topk: (qid, vec_id, sim_e6)."""
+    Centroids = `n_centroids` hash-sampled corpus vectors (deterministic:
+    lowest portable-hash(seed|vec_id) ranks, the same md5-hex-slice hash
+    DuckDB can replay — at 100 TB this sampling pass is a TABLESAMPLE +
+    optional k-means refinement, same layout); every corpus vector is
+    assigned to its nearest centroid (one pass against the broadcast
+    centroid set — the cell assignment is computed ONCE and persists,
+    amortized over all queries; ivf_assignment_sink writes it as the
+    at-rest cell-partitioned index)."""
     pick_hash = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("vec_id"))), 1, 15
@@ -260,9 +252,15 @@ def ivf_topk(
         )
         .select("vec_id", "embedding", (-F.col("mx.ncid")).alias("cid"))
     )
-    # probe: nprobe nearest cells per query
+    return centroids, assigned
+
+
+def ivf_probes(
+    queries: DataFrame, centroids: DataFrame, nprobe: int = 4
+) -> DataFrame:
+    """Per-query probe list: the nprobe nearest cells (qid, qe, cid)."""
     w_probe = Window.partitionBy("qid").orderBy(F.desc("qcs"), F.asc("cid"))
-    probes = (
+    return (
         # bcast-audit: bounded (k centroids)
         queries.crossJoin(F.broadcast(centroids))
         .select(
@@ -272,9 +270,14 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select("qid", "qe", "cid")
     )
+
+
+def ivf_rerank(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact quantized-cosine re-rank of the probed cells' vectors:
+    top-k per query over cells ⋈ probes (the IVF probe's second stage)."""
     scored = (
         # bcast-audit: bounded (probe list ∝ query set)
-        assigned.join(F.broadcast(probes), "cid")
+        cells.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -288,6 +291,24 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via an inverted file (IVF-flat): ivf_build's cell
+    assignment, ivf_probes' nprobe nearest cells per query, ivf_rerank's
+    exact quantized-cosine second stage. Probe cost ∝ nprobe/n_centroids of
+    the corpus instead of all of it; recall vs cosine_topk asserted in
+    tests. Output shape matches cosine_topk: (qid, vec_id, sim_e6)."""
+    centroids, assigned = ivf_build(embeddings, n_centroids, seed)
+    probes = ivf_probes(queries, centroids, nprobe)
+    return ivf_rerank(assigned, probes, k)
 
 
 DUP_PAIRS_MAX_ROWS = 100_000  # hard cap on the quadratic baseline
@@ -373,6 +394,51 @@ def dup_pairs_lsh(
     return cand.select(
         "a", "b", _quantized_sim(F.col("ea"), F.col("eb")).alias("sim_e6")
     ).filter(F.col("sim_e6") >= F.lit(threshold_e6))
+
+
+def dup_pairs_semantic(
+    embeddings: DataFrame,
+    threshold_e6: int = 400_000,
+    n_centroids: int = 16,
+    seed: int = 11,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): candidates are pairs sharing an IVF cell
+    (ivf_build's deterministic hash-sampled centroids), verified by exact
+    quantized cosine — the third candidate topology in the dedup suite,
+    after LSH bands (dup_pairs_lsh) and MinHash bands (dedup.py).
+
+    Cells play the band role but follow the data's DENSITY rather than
+    random planes: duplicates cluster, so candidate effort concentrates
+    exactly where the dups are. Pairs split across a cell boundary are
+    missed BY DESIGN — that is SemDeDup's stated approximation (it
+    deduplicates within k-means clusters only), and the oracle replays the
+    same algorithm so the hash gate verifies what is actually computed.
+
+    Scale (100 TB): the cell self-join is an equi-join on cid — never
+    corpus^2; per-cell pair volume is |cell|^2, bounded by sizing
+    n_centroids ~ sqrt(N) (SemDeDup runs ~1e5 clusters at web scale). The
+    assignment is computed ONCE (checkpointed) and both join sides read
+    the materialized cells. Output: (cid, a, b, sim_e6)."""
+    _, assigned = ivf_build(embeddings, n_centroids=n_centroids, seed=seed)
+    cells = assigned.localCheckpoint(eager=True)
+    ea = cells.select(
+        "cid", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    eb = cells.select(
+        "cid", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    return (
+        ea.join(eb, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "cid",
+            "a",
+            "b",
+            _quantized_sim(F.col("ea"), F.col("eb")).alias("sim_e6"),
+        )
+        .filter(F.col("sim_e6") >= F.lit(threshold_e6))
+    )
 
 
 def quantize_int8(emb: DataFrame) -> DataFrame:

@@ -144,12 +144,12 @@ _IVF_SEED = 11
 _IVF_CENTROIDS = 16
 _IVF_NPROBE = 4
 
-
-@register(
-    "ann_ivf_topk",
-    tags=("llm", "similarity"),
-    oracle=f"""
-        WITH ranked AS (
+# SQL replay of ivf_build's deterministic cell assignment — the shared CTE
+# prefix of every IVF-cell-based oracle (ann_ivf_topk, ann_ivf_at_rest,
+# dedup_semantic): md5-hex-slice centroid sampling, nearest-centroid
+# assignment with ties toward the lower cid.
+IVF_ASSIGN_CTES = f"""
+        ranked AS (
             SELECT vec_id, embedding,
                    row_number() OVER (ORDER BY
                        ('0x' || substr(md5('{_IVF_SEED}' || '|' ||
@@ -167,7 +167,14 @@ _IVF_NPROBE = 4
                            AS rn
                 FROM embeddings e, centroids c
             ) WHERE rn = 1
-        ),
+        )"""
+
+# Shared by ann_ivf_topk and ann_ivf_at_rest (queries/ann_at_rest.py): the
+# at-rest variant persists the cell assignment and probes it through a
+# partition-pruned scan, but SELECTS the identical result — one oracle, two
+# physical paths.
+IVF_ORACLE = f"""
+        WITH {IVF_ASSIGN_CTES},
         q AS (SELECT vec_id AS qid, embedding AS qe
               FROM embeddings WHERE vec_id < {N_QUERIES}),
         probes AS (
@@ -185,7 +192,13 @@ _IVF_NPROBE = 4
         )
         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, vec_id)
                 <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    tags=("llm", "similarity"),
+    oracle=IVF_ORACLE,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k: hash-sampled centroid cells assigned

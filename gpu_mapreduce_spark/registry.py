@@ -95,6 +95,9 @@ def load_all() -> dict[str, QueryDef]:
             training_sink,
             kcore_rmat,
             corpus_lm,
+            mixture,
+            ann_at_rest,
+            semantic,
         )
 
         _loaded = True

@@ -124,6 +124,21 @@ def test_plan_is_scale_safe(spark, name):
         )
 
 
+def test_ivf_at_rest_index_scan_prunes_cells(spark, tmp_path):
+    """The persisted IVF index's probe must reach the scan as a partition
+    filter on cid — only the probed cell directories are listed/opened
+    (the layout claim ann_ivf_at_rest exists to prove)."""
+    from gpu_mapreduce_spark.queries.ann_at_rest import ivf_at_rest_topk
+
+    df = ivf_at_rest_topk(spark, SF_DIR, str(tmp_path / "ivf_idx"))
+    plan = _formatted_plan(spark, df)
+    m = re.search(r"PartitionFilters: \[([^\]]*cid[^\]]*)\]", plan)
+    assert m, f"probe cid list not applied as a partition filter:\n{plan}"
+    exec_plan = _plan_of(df)
+    for bad in ("CartesianProduct", "BatchEvalPython"):
+        assert bad not in exec_plan, f"{bad} in pre-checkpoint plan:\n{exec_plan}"
+
+
 def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
     """The date-partitioned read-back must prune by directory: the one-week
     predicate shows up as PartitionFilters on the scan (only the matching

@@ -82,6 +82,33 @@ def test_embedding_dup_pairs_lsh_sound_and_recall(spark):
     assert len(approx) / len(exact) >= 0.9
 
 
+def test_dup_pairs_semantic_sound_and_recall(spark):
+    """SemDeDup-style cluster-bounded pairs: soundness (every within-cell
+    pair is a true pair with the identical quantized score) plus measured
+    cell recall vs the exact baseline. Near-random fixture vectors give
+    cells little locality, so the floor is deliberately loose — what the
+    assertion must catch is a broken assignment (recall ~ 1/n_centroids)
+    or an unsound score, not the fixture's luck."""
+    emb = table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.a, r.b): r.sim_e6
+        for r in similarity.dup_pairs(emb, threshold_e6=400_000).collect()
+    }
+    semantic = {
+        (r.a, r.b): r.sim_e6
+        for r in similarity.dup_pairs_semantic(
+            emb, threshold_e6=400_000
+        ).collect()
+    }
+    assert exact, "fixture should contain pairs at cos >= 0.4"
+    assert set(semantic) <= set(exact)
+    for pair, sim in semantic.items():
+        assert exact[pair] == sim
+    # same-cell probability for near-random vectors ~ 1/16; genuine near-dups
+    # co-cluster far more often (measured: see queries/semantic.py docstring)
+    assert len(semantic) / len(exact) > 1 / 16
+
+
 def test_dup_pairs_guard_refuses_large_corpus(spark):
     """dup_pairs is the declared O(n^2) baseline: it must refuse a corpus
     above its row cap (pointing at dup_pairs_lsh) BEFORE launching the
