@@ -98,6 +98,8 @@ def load_all() -> dict[str, QueryDef]:
             mixture,
             ann_at_rest,
             semantic,
+            decontam,
+            sketches,
         )
 
         _loaded = True
