@@ -100,6 +100,8 @@ def load_all() -> dict[str, QueryDef]:
             semantic,
             decontam,
             sketches,
+            chunking,
+            quality_gate,
         )
 
         _loaded = True
