@@ -102,6 +102,8 @@ def load_all() -> dict[str, QueryDef]:
             sketches,
             chunking,
             quality_gate,
+            funnel,
+            collocations,
         )
 
         _loaded = True
