@@ -65,6 +65,7 @@ def ivf_at_rest_topk(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
 
 @register(
     "ann_ivf_at_rest",
+    bench=True,
     tags=("llm", "similarity", "sources", "pushdown"),
     oracle=IVF_ORACLE,
 )

@@ -34,6 +34,7 @@ _EMPTY = "array<struct<chunk_id:bigint,ctoks:array<string>>>"
 
 @register(
     "doc_chunks",
+    bench=True,
     tags=("llm", "text", "chunking"),
     oracle=f"""
         WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

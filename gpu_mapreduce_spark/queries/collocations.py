@@ -37,6 +37,7 @@ _TOPK = 20
 
 @register(
     "collocations_topk",
+    bench=True,
     tags=("llm", "textstats", "text"),
     oracle=f"""
         WITH tok AS (SELECT {_TOKS} AS toks FROM documents),

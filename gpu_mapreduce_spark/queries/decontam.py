@@ -40,6 +40,7 @@ _BUCKET_SQL = (
 
 @register(
     "split_contamination",
+    bench=True,
     tags=("llm", "textstats", "dedup", "sampling"),
     oracle=f"""
         {fixtures.duckdb_with('corpus')},

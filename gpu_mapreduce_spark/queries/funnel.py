@@ -41,6 +41,7 @@ _CONV_MS = 24 * 3600 * 1000  # conversion window per stage: 24 hours
 
 @register(
     "event_funnel",
+    bench=True,
     tags=("analytics", "events"),
     oracle=f"""
         WITH s1 AS (

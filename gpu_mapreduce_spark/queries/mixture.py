@@ -53,6 +53,7 @@ def _weights_sql() -> str:
 
 @register(
     "corpus_mixture_sample",
+    bench=True,
     tags=("llm", "sampling"),
     oracle=f"""
         WITH wts AS ({_weights_sql()}),

@@ -45,6 +45,7 @@ _SCORE_SQL = (
 
 @register(
     "quality_threshold_keep",
+    bench=True,
     tags=("llm", "textstats", "sampling"),
     oracle=f"""
         WITH s AS (

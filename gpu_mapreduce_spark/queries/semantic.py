@@ -36,6 +36,7 @@ from gpu_mapreduce_spark.sources.tables import table
 
 @register(
     "dedup_semantic",
+    bench=True,
     tags=("llm", "dedup", "similarity", "clustering"),
     oracle=f"""
         WITH {IVF_ASSIGN_CTES}

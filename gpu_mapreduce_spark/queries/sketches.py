@@ -54,6 +54,7 @@ def _bucket_col(j: int):
 
 @register(
     "cms_heavy_hitters",
+    bench=True,
     tags=("llm", "textstats", "sketch"),
     oracle=f"""
         WITH tok AS (
