@@ -290,6 +290,64 @@ def kcore(
     return fix, rounds
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for community
+    detection — FIXED round count by design: synchronous LPA can oscillate
+    on bipartite-ish structure, so the spec here is 'exactly R rounds'
+    (iterate_n, the K-round Bellman-Ford discipline) and the oracle unrolls
+    the same R stages; there is no convergence probe to disagree about.
+
+    Every vertex starts as its own label; each round every vertex adopts
+    the most frequent label among its neighbors, ties toward the SMALLEST
+    label (deterministic; the same argmax-by-packed-struct trick as the
+    IVF cell assignment). Extends the cc_find/kcore toolkit with the
+    community primitive the reference lacks; per round the plan is
+    cc_find's exact shape plus one aggregation: state ⋈ arcs on src
+    (state broadcast or shuffle-hash vs bucketed arcs via
+    ``broadcast_state``), a partially-aggregated groupBy(dst, label)
+    count, then a groupBy(dst) struct-max — per-round shuffle volume is
+    O(distinct (dst, neighbor-label) pairs) <= O(|E|), collapsing toward
+    O(|V|) as communities coalesce.
+
+    Returns (v, label) after exactly `rounds` rounds."""
+    if arcs is None:
+        arcs = prepare_arcs(edges)
+    labels = (
+        arcs.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+    )
+
+    def step(lab: DataFrame) -> DataFrame:
+        votes = (
+            arcs.join(
+                _state_side(lab.select("v", "label"), broadcast_state),
+                arcs.src == lab.v,
+            )
+            .groupBy(F.col("dst").alias("nv"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # max of (cnt, -label): most frequent neighbor label, ties -> lowest
+        return (
+            votes.groupBy("nv")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("mx")
+            )
+            .select(F.col("nv").alias("v"), (-F.col("mx.nl")).alias("label"))
+        )
+
+    return iterate_n(labels, step, rounds)
+
+
 def weighted_arcs(wedges: DataFrame) -> DataFrame:
     """Bidirect weighted canonical edges, carrying the edge weight both ways
     (oink/map_read_edge_weight.cpp shape + sssp's reorganize_edges,

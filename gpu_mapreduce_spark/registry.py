@@ -104,6 +104,7 @@ def load_all() -> dict[str, QueryDef]:
             quality_gate,
             funnel,
             collocations,
+            label_prop,
         )
 
         _loaded = True
