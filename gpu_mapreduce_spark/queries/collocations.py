@@ -67,8 +67,15 @@ def collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.tokens(F.col("text")).alias("toks")
     )
     uni = staged.select(F.explode("toks").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    n_total = uni.count()
+    # vocab-sized; checkpointed so N and both PMI join sides read the one
+    # materialized count table instead of re-tokenizing the corpus (a bare
+    # uni.count() here would be a whole extra explode scan for a scalar)
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = ucnt.agg(F.sum("n")).collect()[0][0]
     bcnt = (
         staged.select(F.explode(ts._ngrams(F.col("toks"), 2)).alias("g"))
         .groupBy("g")

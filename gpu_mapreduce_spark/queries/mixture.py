@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpu_mapreduce_spark.functions.portable import hash60
 from gpu_mapreduce_spark.queries.formats import (
     _sql_two_stage_digest,
     _two_stage_digest,
@@ -102,32 +103,36 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = {lang: budget * _WEIGHTS[lang] // 100 for lang in counts}
 
     h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        hash60(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
         % _HMOD
     )
     # element_at with the lang COLUMN as key (bracket access with a string
-    # would read it as the literal key "lang")
+    # would read it as the literal key "lang"); values cast to BIGINT —
+    # F.lit(python int) types as int32, and `quota * _HMOD` overflows int32
+    # once a quota exceeds 2147 docs (ARITHMETIC_OVERFLOW under ANSI,
+    # silent wrap + oracle divergence without; sf0.1's largest quota 1404
+    # is already 65% of the int32 ceiling)
     n_of = F.element_at(
         F.create_map(
-            *[x for lang in counts for x in (F.lit(lang), F.lit(counts[lang]))]
+            *[
+                x
+                for lang in counts
+                for x in (F.lit(lang), F.lit(counts[lang]).cast("bigint"))
+            ]
         ),
         F.col("lang"),
     )
     m_of = F.element_at(
         F.create_map(
-            *[x for lang in counts for x in (F.lit(lang), F.lit(quota[lang]))]
+            *[
+                x
+                for lang in counts
+                for x in (F.lit(lang), F.lit(quota[lang]).cast("bigint"))
+            ]
         ),
         F.col("lang"),
     )
-    kept = docs.filter(h * n_of < m_of * F.lit(_HMOD))
+    kept = docs.filter(h * n_of < m_of * F.lit(_HMOD).cast("bigint"))
 
     # materialize the 5-row accounting once — it feeds both the report join
     # and the total; unmaterialized, the kept-scan + digest tree runs twice

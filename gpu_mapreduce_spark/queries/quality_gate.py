@@ -86,7 +86,10 @@ def quality_threshold_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", ts.tokens(F.col("text")).alias("toks")
     )
-    # exact integer score from the materialized token array
+    # exact integer score from the materialized token array; checkpointed —
+    # the skinny (doc_id, source, n_chars, score_u) projection feeds THREE
+    # consumers (the histogram collect, the kept filter, the per-source
+    # totals), which would otherwise each re-tokenize the corpus
     scored = staged.select(
         "doc_id",
         "source",
@@ -97,7 +100,7 @@ def quality_threshold_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("score_u"),
-    )
+    ).localCheckpoint(eager=True)
     hist = (
         scored.groupBy("score_u")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -46,7 +46,12 @@ def test_split_contamination_flags_cross_split_twins(spark):
         assert r.leak_bp == r.n_leaked * 10000 // r.n_grams
         base = doc_id % 1_000_000
         exact_twins = {base, base + 1_000_000} - {doc_id}
-        if any(in_train(t) for t in exact_twins):
+        # the byte-identical relation only holds between an original and
+        # its +1e6 copy; a NEAR-dup doc (>= 2e6, ' near dup tail'
+        # appended) has tail-crossing 5-grams its base doesn't contain,
+        # so it can legitimately report < 10000 bp even with the base in
+        # train (real case at sf0.1: docs 2001337/2001519/...)
+        if doc_id < 2_000_000 and any(in_train(t) for t in exact_twins):
             assert r.leak_bp == 10000, (doc_id, r)
             full_leaks += 1
     # the fixture's injection rate guarantees the audit has something to find
