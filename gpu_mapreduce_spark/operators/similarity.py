@@ -401,6 +401,7 @@ def dup_pairs_semantic(
     threshold_e6: int = 400_000,
     n_centroids: int = 16,
     seed: int = 11,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-bounded near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): candidates are pairs sharing an IVF cell
@@ -419,9 +420,14 @@ def dup_pairs_semantic(
     corpus^2; per-cell pair volume is |cell|^2, bounded by sizing
     n_centroids ~ sqrt(N) (SemDeDup runs ~1e5 clusters at web scale). The
     assignment is computed ONCE (checkpointed) and both join sides read
-    the materialized cells. Output: (cid, a, b, sim_e6)."""
-    _, assigned = ivf_build(embeddings, n_centroids=n_centroids, seed=seed)
-    cells = assigned.localCheckpoint(eager=True)
+    the materialized cells. `cells` injects a prebuilt MATERIALIZED
+    assignment (the session-memoized index of queries/similarity.
+    _ivf_index — the caller owns consistency with n_centroids/seed, the
+    dedup.jaccard_pairs `shingles` contract). Output:
+    (cid, a, b, sim_e6)."""
+    if cells is None:
+        _, assigned = ivf_build(embeddings, n_centroids=n_centroids, seed=seed)
+        cells = assigned.localCheckpoint(eager=True)
     ea = cells.select(
         "cid", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
     )

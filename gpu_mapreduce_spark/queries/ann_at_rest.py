@@ -27,25 +27,22 @@ from pyspark.sql import functions as F
 from gpu_mapreduce_spark.operators import similarity
 from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
 from gpu_mapreduce_spark.queries.similarity import (
-    _IVF_CENTROIDS,
     _IVF_NPROBE,
-    _IVF_SEED,
     IVF_ORACLE,
     TOP_K,
+    _ivf_index,
     _queries,
 )
 from gpu_mapreduce_spark.registry import register
-from gpu_mapreduce_spark.sources.tables import table
 
 
 def ivf_at_rest_topk(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     """Build→persist→prune→rerank against the index at `path`. Split from
     the registered query so tests can assert PartitionFilters on the pruned
-    scan pre-checkpoint."""
-    emb = table(spark, sf_dir, "embeddings")
-    centroids, assigned = similarity.ivf_build(
-        emb, n_centroids=_IVF_CENTROIDS, seed=_IVF_SEED
-    )
+    scan pre-checkpoint. The in-session build is the memoized _ivf_index
+    (shared with ann_ivf_topk/dedup_semantic); this query's claim is the
+    persisted partitioned LAYOUT of that same assignment."""
+    centroids, assigned = _ivf_index(spark, sf_dir)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
 
     probes = similarity.ivf_probes(

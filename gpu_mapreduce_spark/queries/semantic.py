@@ -28,6 +28,7 @@ from gpu_mapreduce_spark.queries.similarity import (
     _IVF_SEED,
     DUP_T_E6,
     IVF_ASSIGN_CTES,
+    _ivf_index,
     _qsim_sql,
 )
 from gpu_mapreduce_spark.registry import register
@@ -54,9 +55,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology of SemDeDup — density-following where LSH bands are random —
     implemented as one cid equi-join over the checkpointed cell assignment
     (operators/similarity.dup_pairs_semantic)."""
+    _, assigned = _ivf_index(spark, sf_dir)
     return similarity.dup_pairs_semantic(
         table(spark, sf_dir, "embeddings"),
         threshold_e6=DUP_T_E6,
         n_centroids=_IVF_CENTROIDS,
         seed=_IVF_SEED,
+        cells=assigned,
     )

@@ -144,6 +144,33 @@ _IVF_SEED = 11
 _IVF_CENTROIDS = 16
 _IVF_NPROBE = 4
 
+
+def _ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized IVF index: (centroids, cell assignment), both
+    eagerly checkpointed — the at-rest artifact every IVF consumer probes
+    (ann_ivf_topk, ann_ivf_at_rest's persisted layout, dedup_semantic's
+    candidate cells), built ONCE per (session, sf_dir) via
+    fixtures.derived like the canonical edge list. This makes the
+    'assignment is computed once and persists, amortized over all
+    queries' claim in ivf_build real across the driver's
+    one-session-many-queries round."""
+    from gpu_mapreduce_spark.sources import fixtures
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        centroids, assigned = similarity.ivf_build(
+            table(spark, sf_dir, "embeddings"),
+            n_centroids=_IVF_CENTROIDS,
+            seed=_IVF_SEED,
+        )
+        return (
+            centroids.localCheckpoint(eager=True),
+            assigned.localCheckpoint(eager=True),
+        )
+
+    return fixtures.derived(spark, sf_dir, "ivf_index", build)
+
 # SQL replay of ivf_build's deterministic cell assignment — the shared CTE
 # prefix of every IVF-cell-based oracle (ann_ivf_topk, ann_ivf_at_rest,
 # dedup_semantic): md5-hex-slice centroid sampling, nearest-centroid
@@ -205,15 +232,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, each query exhaustively re-ranks only its nprobe nearest cells.
     Oracle = full DuckDB replay (portable md5-hex-slice sampling hash, same
     assignment and probe ranking); recall@k vs the brute-force baseline
-    asserted in tests."""
-    emb = table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb,
-        _queries(spark, sf_dir),
-        k=TOP_K,
-        n_centroids=_IVF_CENTROIDS,
-        nprobe=_IVF_NPROBE,
+    asserted in tests. Probes the session-memoized index (_ivf_index) —
+    ivf_topk's build/probe/rerank staging with the build amortized."""
+    centroids, assigned = _ivf_index(spark, sf_dir)
+    probes = similarity.ivf_probes(
+        _queries(spark, sf_dir), centroids, nprobe=_IVF_NPROBE
     )
+    return similarity.ivf_rerank(assigned, probes, k=TOP_K)
 
 
 DUP_T_E6 = 400_000  # cosine >= 0.4 — the synthetic embeddings are near-random,
