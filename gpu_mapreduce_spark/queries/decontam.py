@@ -16,7 +16,17 @@ shuffle join (NEITHER side broadcasts: unlike the bounded benchmark set of
 contamination_ngrams, the train-gram side IS the corpus), followed by
 doc-keyed partial-aggregated counts. No all-pairs anything; skew on a
 boilerplate gram is bounded by semi-join dedup semantics (one output row
-per test gram regardless of train-side multiplicity)."""
+per test gram regardless of train-side multiplicity).
+
+Gram identity is the portable 60-bit hash (`functions/portable.hash60`),
+not the gram string: the semi-join exchange carries 8-byte BIGINT keys
+instead of ~40-byte strings — the same key discipline as
+`passage_dup_pairs` and `cms_heavy_hitters`. This is not just bandwidth:
+the string-keyed variant's allocation profile reproducibly flipped the
+JVM into a degraded-heap regime (samples [3.7 s, 29 s] on an idle
+machine, r05 verdict) — BIGINT keys keep the exchange primitive-typed.
+The DuckDB oracle replays the identical hash, so both engines agree
+bit-for-bit even on the (negligible, 60-bit) collision mass."""
 
 from __future__ import annotations
 
@@ -47,7 +57,10 @@ _BUCKET_SQL = (
         b AS (SELECT doc_id, {_TOKS} AS toks, {_BUCKET_SQL} AS bkt
               FROM corpus),
         grams AS (SELECT doc_id, bkt,
-                         unnest(list_distinct({_sql_ngrams(_N)})) AS g
+                         unnest(list_distinct(list_transform(
+                             {_sql_ngrams(_N)},
+                             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                         ))) AS g
                   FROM b),
         train_g AS (SELECT DISTINCT g FROM grams WHERE bkt < {_TRAIN_LT}),
         test_g AS (SELECT doc_id, g FROM grams WHERE bkt >= {_TEST_GE}),
@@ -80,7 +93,9 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bkt.alias("bkt"),
         F.explode(
-            F.array_distinct(ts._ngrams(ts.tokens(F.col("text")), _N))
+            F.array_distinct(
+                F.transform(ts._ngrams(ts.tokens(F.col("text")), _N), hash60)
+            )
         ).alias("g"),
     )
     train_g = grams.filter(F.col("bkt") < _TRAIN_LT).select("g")
