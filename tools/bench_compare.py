@@ -37,21 +37,29 @@ def main() -> None:
     payload = raw.get("parsed") or raw
     queries = payload.get("queries", {})
     errors = payload.get("errors") or {}
+    samples = payload.get("samples") or {}
     if not queries and not errors:
         print("no queries map in input", file=sys.stderr)
         sys.exit(2)
     regressions = []
-    print(f"{'query':32s} {'sec':>8s} {'base':>8s} {'ratio':>6s}")
+    print(f"{'query':32s} {'sec':>8s} {'base':>8s} {'ratio':>6s} {'max':>8s}")
     for name, sec in sorted(queries.items(), key=lambda kv: -kv[1]):
+        # `sec` is the per-query MIN; the max sample (and >2 samples — the
+        # adaptive re-sampling footprint) is the degraded-heap-regime
+        # indicator: min at baseline with max 3x above means heap state,
+        # not a plan regression (BASELINE.md "Measurement discipline").
+        smp = samples.get(name) or [sec]
+        regime = "  [regime? {} samples]".format(len(smp)) if len(smp) > 2 else ""
         base = BASELINE.get(name)
         if base is None:
             print(f"{name:32s} {sec:8.3f} {'new':>8s}")
             continue
         ratio = sec / base
-        flag = "  <-- REGRESSION (>2x)" if ratio > 2.0 else ""
+        flag = "  <-- REGRESSION (>2x min)" if ratio > 2.0 else ""
         if ratio > 2.0:
             regressions.append(name)
-        print(f"{name:32s} {sec:8.3f} {base:8.3f} {ratio:6.2f}{flag}")
+        print(f"{name:32s} {sec:8.3f} {base:8.3f} {ratio:6.2f} "
+              f"{max(smp):8.3f}{flag}{regime}")
     # a baselined query that ERRORED or silently vanished from the run is
     # the worst regression there is — bench.py's per-query fault isolation
     # diverts failures to the 'errors' map, which must not read as a pass
