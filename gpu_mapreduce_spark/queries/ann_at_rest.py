@@ -5,19 +5,23 @@ cid-partitioned parquet layout and probed through a partition-pruned scan
 ann_ivf_topk computes the cell assignment in-session; a production vector
 store keeps it ON DISK, partitioned by cell, so a query's probe reads only
 its nprobe cell directories — this query makes that layout real and proves
-it: write `ivf_build`'s assignment with partitionBy("cid"), collect the
-probe list (nprobe × |queries| rows — constant driver traffic), read the
-index back filtered to the probed cids (the filter reaches the scan as
-PartitionFilters — asserted mechanically in tests/test_similarity.py, the
-events_partitioned_scan discipline), and exact-rerank. The SELECTED result
-is identical to ann_ivf_topk, so both registrations share one oracle — the
-at-rest path is a physical-layout claim, not a new algorithm.
+it: the assignment is written with partitionBy("cid") ONCE per session
+(queries/similarity._ivf_at_rest — the index-build amortization every
+vector store does), then each query collects its probe list (nprobe ×
+|queries| rows — constant driver traffic) and reads the index back
+filtered to the probed cids (the filter reaches the scan as
+PartitionFilters — asserted mechanically in tests/test_plan_audit.py, the
+events_partitioned_scan discipline), and exact-reranks. The SELECTED
+result is identical to ann_ivf_topk, so both registrations share one
+oracle — the at-rest path is a physical-layout claim, not a new algorithm.
 
 Scale notes (100 TB): the index write is one distributed partitioned sink
 (n_centroids directories — centroid count scales with the corpus, e.g.
-sqrt(N), not with queries); each query batch then touches
-nprobe/n_centroids of the data by DIRECTORY PRUNING, never a full scan.
-The probe list crossing the driver is nprobe rows per query."""
+sqrt(N), not with queries), paid once and amortized over every consumer;
+each query batch then touches nprobe/n_centroids of the data by DIRECTORY
+PRUNING, never a full scan. The probe list crossing the driver is nprobe
+rows per query.
+"""
 
 from __future__ import annotations
 
@@ -25,39 +29,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_mapreduce_spark.operators import similarity
-from gpu_mapreduce_spark.plans.scratch import sink_roundtrip
 from gpu_mapreduce_spark.queries.similarity import (
+    _AT_REST_SCHEMA,
     _IVF_NPROBE,
+    _ivf_at_rest,
+    _ivf_index,
     IVF_ORACLE,
     TOP_K,
-    _ivf_index,
     _queries,
 )
 from gpu_mapreduce_spark.registry import register
 
 
-def ivf_at_rest_topk(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
-    """Build→persist→prune→rerank against the index at `path`. Split from
-    the registered query so tests can assert PartitionFilters on the pruned
-    scan pre-checkpoint. The in-session build is the memoized _ivf_index
-    (shared with ann_ivf_topk/dedup_semantic); this query's claim is the
-    persisted partitioned LAYOUT of that same assignment."""
-    centroids, assigned = _ivf_index(spark, sf_dir)
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
-
+def _probe_pruned(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame, path: str
+) -> DataFrame:
+    """Probe the at-rest index at `path`: nearest-nprobe cells per query,
+    directory-pruned read, exact rerank. `probes` is eagerly checkpointed
+    once — it is consumed twice (collected for the prune list, joined in
+    the rerank) and would otherwise recompute the centroid scoring."""
     probes = similarity.ivf_probes(
         _queries(spark, sf_dir), centroids, nprobe=_IVF_NPROBE
-    )
+    ).localCheckpoint(eager=True)
     # the probed cell set: nprobe × |queries| rows of constant driver
     # traffic; static by read time, so the isin filter prunes directories
     probe_cids = sorted({r.cid for r in probes.select("cid").collect()})
-    back = spark.read.schema(
-        "vec_id bigint, embedding array<float>, cid int"
-    ).parquet(path)
+    back = spark.read.schema(_AT_REST_SCHEMA).parquet(path)
     cells = back.filter(F.col("cid").isin(probe_cids))
     return similarity.ivf_rerank(cells, probes, k=TOP_K).orderBy(
         "qid", F.desc("sim_e6"), "vec_id"
     )
+
+
+def ivf_at_rest_topk(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Build→persist→prune→rerank against a caller-owned `path`. Split from
+    the registered query so tests can assert PartitionFilters on the pruned
+    scan of a layout they control; the registered query probes the
+    session-memoized artifact instead of rewriting the index per run."""
+    centroids, assigned = _ivf_index(spark, sf_dir)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    return _probe_pruned(spark, sf_dir, centroids, path)
 
 
 @register(
@@ -68,7 +79,8 @@ def ivf_at_rest_topk(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
 )
 def ann_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_ivf_topk through the persisted cell-partitioned index — same
-    selection, partition-pruned physical path (module docstring)."""
-    return sink_roundtrip(
-        "ivf_index_", lambda path: ivf_at_rest_topk(spark, sf_dir, path)
-    )
+    selection, partition-pruned physical path (module docstring). The
+    write is the session-memoized one-time build; this query's per-run
+    cost is probe + pruned read + rerank, order-independent."""
+    centroids, path = _ivf_at_rest(spark, sf_dir)
+    return _probe_pruned(spark, sf_dir, centroids, path)

@@ -24,11 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gpu_mapreduce_spark.operators import similarity
 from gpu_mapreduce_spark.queries.similarity import (
+    _AT_REST_SCHEMA,
     _IVF_CENTROIDS,
     _IVF_SEED,
     DUP_T_E6,
     IVF_ASSIGN_CTES,
-    _ivf_index,
+    _ivf_at_rest,
     _qsim_sql,
 )
 from gpu_mapreduce_spark.registry import register
@@ -53,13 +54,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-IVF-cell near-duplicate pairs at the shared {DUP_T_E6}/1e6
     cosine threshold: (cid, a, b, sim_e6). The cluster-bounded candidate
     topology of SemDeDup — density-following where LSH bands are random —
-    implemented as one cid equi-join over the checkpointed cell assignment
-    (operators/similarity.dup_pairs_semantic)."""
-    _, assigned = _ivf_index(spark, sf_dir)
+    implemented as one cid equi-join over the AT-REST cell assignment
+    (queries/similarity._ivf_at_rest): the candidate join's two sides read
+    the cid-partitioned parquet index, so the query's steady-state cost is
+    read+join regardless of which IVF consumer ran first (the r05
+    order-dependent-baseline fix — previously it was only inside its bench
+    band when another query had populated the in-session memo)."""
+    _, path = _ivf_at_rest(spark, sf_dir)
+    cells = spark.read.schema(_AT_REST_SCHEMA).parquet(path)
     return similarity.dup_pairs_semantic(
         table(spark, sf_dir, "embeddings"),
         threshold_e6=DUP_T_E6,
         n_centroids=_IVF_CENTROIDS,
         seed=_IVF_SEED,
-        cells=assigned,
+        cells=cells,
     )

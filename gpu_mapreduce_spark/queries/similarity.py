@@ -171,6 +171,39 @@ def _ivf_index(
 
     return fixtures.derived(spark, sf_dir, "ivf_index", build)
 
+
+# Read-back schema of the at-rest index (cid is the partition directory key,
+# cast from the path per this schema)
+_AT_REST_SCHEMA = "vec_id bigint, embedding array<float>, cid int"
+
+
+def _ivf_at_rest(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """Session-memoized AT-REST IVF index: (centroids, path) where `path`
+    is the cid-partitioned parquet layout of the cell assignment, written
+    ONCE per (session, sf_dir). This is the vector-store-on-disk artifact:
+    ann_ivf_at_rest probes it directory-pruned, dedup_semantic's candidate
+    join reads the full assignment from it — so neither query's steady-state
+    cost depends on which one ran first (the r05 order-dependent-baseline
+    defect): the one-time build+write lands on whichever consumer's warm-up
+    touches it, and every timed sample measures read+probe/join only,
+    exactly how a production store amortizes its index build. The scratch
+    dir lives for the session (atexit-removed)."""
+    from gpu_mapreduce_spark.sources import fixtures
+
+    def build() -> tuple[DataFrame, str]:
+        import atexit
+        import shutil
+        import tempfile
+
+        centroids, assigned = _ivf_index(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="ivf_at_rest_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+        return centroids, path
+
+    return fixtures.derived(spark, sf_dir, "ivf_at_rest", build)
+
+
 # SQL replay of ivf_build's deterministic cell assignment — the shared CTE
 # prefix of every IVF-cell-based oracle (ann_ivf_topk, ann_ivf_at_rest,
 # dedup_semantic): md5-hex-slice centroid sampling, nearest-centroid
