@@ -108,11 +108,23 @@ def _bucketed_by_src(df: DataFrame, tag: str, nbuckets: int) -> DataFrame:
     edge sets (e.g. two sf dirs) passing the same tag in one session would
     otherwise silently share one bucketed table (and a name-only overwrite
     would flip earlier handles onto the later data)."""
+    import hashlib
     import tempfile
 
     spark = df.sparkSession
-    plan_id = df.semanticHash() & 0xFFFFFFFF
-    tbl = f"arcs_by_src_{tag}_{nbuckets}_{plan_id:08x}"
+    # Identity = 32-bit semanticHash (hash of the canonicalized plan TREE,
+    # including in-memory relation data that no toString prints) PLUS a
+    # 64-bit md5 of the canonicalized plan TEXT (scan paths, filters,
+    # structure). Either alone under-keys: text misses LocalRelation data,
+    # the bare 32-bit hash is birthday-collidable between two edge sets
+    # sharing a tag — the silent-aliasing failure this key exists to
+    # prevent (review note r05).
+    canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    plan_id = (
+        f"{df.semanticHash() & 0xFFFFFFFF:08x}"
+        f"{hashlib.md5(canon.encode()).hexdigest()[:16]}"
+    )
+    tbl = f"arcs_by_src_{tag}_{nbuckets}_{plan_id}"
     key = (spark.sparkContext.applicationId, tbl)
     if key not in _BUCKETED_ARCS:
         path = tempfile.mkdtemp(prefix=f"{tbl}_")

@@ -79,10 +79,16 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_millis("ts").alias("tms")
     )
+    # s1 feeds both s2 and the final union (and s2 feeds s3 and the union):
+    # without materialization the events scan + min-aggregate subtree
+    # recomputes once per consumer (~6 scans per run). Eager checkpoints
+    # keep each stage computed once — the repo's multi-consumer reuse
+    # discipline (quality_gate's scored projection, the IVF index).
     s1 = (
         ev.filter(F.col("event_type") == _STAGES[0])
         .groupBy("user_id")
         .agg(F.min("tms").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         ev.filter(F.col("event_type") == _STAGES[1])
@@ -93,6 +99,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("tms").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         ev.filter(F.col("event_type") == _STAGES[2])

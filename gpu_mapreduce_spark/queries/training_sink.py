@@ -75,7 +75,14 @@ def packed_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = ts.pack_assignments(
             docs, capacity=_CAP, shards=_SHARDS, carry=("text",)
         )
-        rows.write.mode("overwrite").partitionBy("shard").json(path)
+        # ignoreNullFields=false: Spark's JSON sink DROPS null fields by
+        # default, which would silently diverge the read-back digest from
+        # the DuckDB oracle asymmetrically (concat_ws skips a null md5 while
+        # string_agg drops the whole row) — the lossless claim must not
+        # depend on the carry columns happening to be non-null.
+        rows.write.mode("overwrite").option(
+            "ignoreNullFields", "false"
+        ).partitionBy("shard").json(path)
         back = spark.read.schema(
             "doc_id bigint, n_tokens bigint, bin bigint, text string,"
             " shard int"
