@@ -237,6 +237,49 @@ def incremental_status(
     )
 
 
+def minhash_band_entries(
+    docs: DataFrame, bands: int = 16, rows: int = 2, seed: int = 42
+) -> DataFrame:
+    """LSH bucket entries (doc_id, band, bh) from a (doc_id, shs) table:
+    bands*rows MinHash permutations h_i(sh) = xxhash64(seed, i, sh), each
+    min-reduced IN-ROW over the per-doc distinct-shingle array (no explode,
+    no wide-aggregate shuffle), then each band's `rows` signature slots
+    hashed into one bucket key. Shared by minhash_lsh_pairs (self-join both
+    sides) and the at-rest LSH index (existing corpus's entries persisted
+    once, probed by delta batches). The signature projection is eagerly
+    checkpointed — consumers read the entries through a self-join or write
+    them to a sink, and re-deriving 32 array_min passes per read is the
+    dominant cost."""
+    nperm = bands * rows
+
+    def _perm_min(i: int) -> Column:
+        # single-arg lambda only: a 2-arg transform lambda would be called
+        # as (element, array_index) and shadow the permutation number
+        return F.array_min(
+            F.transform("shs", lambda s: F.xxhash64(F.lit(seed), F.lit(i), s))
+        )
+
+    sig = docs.select(
+        "doc_id", *[_perm_min(i).alias(f"m{i}") for i in range(nperm)]
+    ).localCheckpoint(eager=True)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{bi * rows + ri}") for ri in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+
+
 def minhash_lsh_pairs(
     corpus: DataFrame,
     threshold: float = 0.8,
@@ -282,33 +325,7 @@ def minhash_lsh_pairs(
         .filter(F.size("shs") > 0)
     )
 
-    def _perm_min(i: int) -> Column:
-        # single-arg lambda only: a 2-arg transform lambda would be called
-        # as (element, array_index) and shadow the permutation number
-        return F.array_min(
-            F.transform("shs", lambda s: F.xxhash64(F.lit(seed), F.lit(i), s))
-        )
-
-    # checkpoint the signature too: the band self-join reads it twice
-    sig = docs.select(
-        "doc_id", *[_perm_min(i).alias(f"m{i}") for i in range(nperm)]
-    ).localCheckpoint(eager=True)
-    band_entries = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{bi * rows + ri}") for ri in range(rows)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bh")
+    band_entries = minhash_band_entries(docs, bands=bands, rows=rows, seed=seed)
     ba = band_entries.select(F.col("doc_id").alias("a"), "band", "bh")
     bb = band_entries.select(F.col("doc_id").alias("b"), "band", "bh")
     cand = (

@@ -105,6 +105,10 @@ def load_all() -> dict[str, QueryDef]:
             funnel,
             collocations,
             label_prop,
+            # r06 tail (same discipline: new modules at the END so they
+            # take window slots only after every older never-green query)
+            dedup_at_rest,
+            sink_append,
         )
 
         _loaded = True
