@@ -109,6 +109,7 @@ def load_all() -> dict[str, QueryDef]:
             # take window slots only after every older never-green query)
             dedup_at_rest,
             sink_append,
+            funnel_stream,
         )
 
         _loaded = True

@@ -191,6 +191,122 @@ def attributed_purchases(events: DataFrame, streaming: bool = False) -> DataFram
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_CONV_MS = 24 * 3600 * 1000  # queries/funnel.py's 24 h stage window
+
+
+def funnel_stages_batch(
+    events: DataFrame, conv_ms: int = FUNNEL_CONV_MS
+) -> DataFrame:
+    """Per-user funnel stage table (user_id, t1, t2, t3 — epoch ms, -1 for
+    a stage not reached): the batch half of the funnel dual. Same chained
+    ordered-window semantics as queries/funnel.event_funnel (which reduces
+    this table to its one-row report); -1 sentinels instead of NULLs so the
+    streaming half's fixed-width state row and the oracle compare exactly
+    (the dedup_incremental sentinel discipline)."""
+    ev = events.select(
+        "user_id", "event_type", F.unix_millis("ts").alias("tms")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("tms") > F.col("t1"))
+            & (F.col("tms") <= F.col("t1") + conv_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("tms") > F.col("t2"))
+            & (F.col("tms") <= F.col("t2") + conv_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tms").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").cast("bigint").alias("t1"),
+            F.coalesce("t2", F.lit(-1)).cast("bigint").alias("t2"),
+            F.coalesce("t3", F.lit(-1)).cast("bigint").alias("t3"),
+        )
+    )
+
+
+def funnel_stages_stream(
+    events: DataFrame, conv_ms: int = FUNNEL_CONV_MS
+) -> DataFrame:
+    """Custom stateful streaming operator: the per-user funnel as an
+    applyInPandasWithState job with BOUNDED state — exactly three BIGINT
+    timestamps per user (t1, t2, t3; -1 = stage not reached), never an
+    event buffer. Each group call folds the batch's stage events together
+    with the prior state's timestamps; every state timestamp is a REAL
+    event's timestamp, so re-folding it with new events is always sound.
+    The fold is exact whenever a user's history arrives within one trigger
+    (the availableNow file drain this dual is equality-tested under — the
+    sessionize_stream delivery contract); on a multi-batch bus feed an
+    earlier-arriving view can open a conversion window whose clicks were
+    discarded in prior batches — the standard fix is a watermark-horizon
+    event buffer per user, which changes the state SIZE, not this fold."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs))
+        tms = rows["ts"].astype("int64") // 1_000_000  # pandas ns → ms
+        stage = {
+            s: tms[rows["event_type"] == s].tolist() for s in FUNNEL_STAGES
+        }
+        if state.exists:
+            for s, prior in zip(FUNNEL_STAGES, state.get):
+                if prior >= 0:
+                    stage[s].append(prior)
+        t1 = min(stage[FUNNEL_STAGES[0]], default=-1)
+        t2 = min(
+            (
+                c
+                for c in stage[FUNNEL_STAGES[1]]
+                if t1 >= 0 and t1 < c <= t1 + conv_ms
+            ),
+            default=-1,
+        )
+        t3 = min(
+            (
+                p
+                for p in stage[FUNNEL_STAGES[2]]
+                if t2 >= 0 and t2 < p <= t2 + conv_ms
+            ),
+            default=-1,
+        )
+        state.update((int(t1), int(t2), int(t3)))
+        if t1 >= 0:
+            yield pd.DataFrame(
+                {"user_id": [user_id], "t1": [t1], "t2": [t2], "t3": [t3]}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, t1 bigint, t2 bigint, t3 bigint",
+        stateStructType="t1 bigint, t2 bigint, t3 bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Batch sessionization: a session breaks after a gap > gap_min minutes
     without events from that user. Window-function formulation (the

@@ -168,3 +168,23 @@ def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
     assert final.count() == a.count() + b.count()
     # row identity, not just counts: no duplicate event_ids, none missing
     assert final.select("event_id").distinct().count() == ev.count()
+
+
+def test_funnel_stream_equals_batch(spark):
+    """Bounded-state custom funnel (three BIGINT timestamps per user,
+    applyInPandasWithState): with availableNow draining the file in one
+    trigger, the per-user stage table must equal the batch chain exactly —
+    including users stalled mid-funnel (t2/t3 = -1 sentinels)."""
+    batch = pipeline.funnel_stages_batch(table(spark, SF_DIR, "events"))
+    stream = pipeline.funnel_stages_stream(pipeline.events_stream(spark, SF_DIR))
+    got = pipeline.run_stream_to_memory(
+        stream, "t_funnel", spark, output_mode="append"
+    )
+    cols = ["user_id", "t1", "t2", "t3"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    rows = _rows(got, cols)
+    assert rows, "fixture must produce funnel entrants"
+    # the ordered semantics must be visible: some users stall at each stage
+    assert any(r[2] == -1 for r in rows) and any(
+        r[2] != -1 and r[3] == -1 for r in rows
+    )
