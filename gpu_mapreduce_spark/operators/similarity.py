@@ -235,8 +235,17 @@ def ivf_build(
         )
         .select("cid", F.col("embedding").alias("ce"))
     )
-    # cell assignment: nearest centroid per corpus vector (ties -> lower cid)
-    assigned = (
+    return centroids, ivf_assign(embeddings, centroids)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment against a FROZEN centroid set
+    (ties → lower cid): one pass over `embeddings` with the k centroids
+    broadcast. Split from ivf_build so incremental index maintenance can
+    route a delta batch into the EXISTING coarse quantizer's cells (the
+    FAISS `IndexIVF.add` semantics — append never re-clusters) exactly as
+    the initial build assigned the base corpus."""
+    return (
         # bcast-audit: bounded (k centroids)
         embeddings.crossJoin(F.broadcast(centroids))
         .select(
@@ -252,7 +261,6 @@ def ivf_build(
         )
         .select("vec_id", "embedding", (-F.col("mx.ncid")).alias("cid"))
     )
-    return centroids, assigned
 
 
 def ivf_probes(

@@ -110,6 +110,7 @@ def load_all() -> dict[str, QueryDef]:
             dedup_at_rest,
             sink_append,
             funnel_stream,
+            ann_append,
         )
 
         _loaded = True
