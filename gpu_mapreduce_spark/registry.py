@@ -111,6 +111,7 @@ def load_all() -> dict[str, QueryDef]:
             sink_append,
             funnel_stream,
             ann_append,
+            hll,
         )
 
         _loaded = True
