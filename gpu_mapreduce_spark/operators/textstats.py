@@ -216,6 +216,130 @@ def contamination(
     )
 
 
+BLOOM_BITS = 16384  # sized for the fixture's benchmark gram set (n ~ 3.5k
+#   at sf0.1): fill = 1-exp(-K*n/m) ~ 0.57, FP = fill^K ~ 11% worst-case,
+#   ~4e-5 at sf0.001. Production sizes m proportional to n (~10 bits/gram
+#   for ~1% FP) — the array is bits, so even 1e9 grams is a 1.25 GB
+#   broadcast where the gram strings themselves would be ~40 GB.
+BLOOM_K = 4
+
+
+def _with_bloom_bits(hashed: DataFrame) -> DataFrame:
+    """Append the K bit positions _b0.._b{K-1} for the BIGINT key column
+    `h`: K disjoint 14-bit fields of the key's own 60 bits (m = 2^14) —
+    the Kirsch-Mitzenmacher one-hash construction, and since the pipeline
+    already keys grams by their portable 60-bit hash the Bloom bits cost
+    ZERO additional hashing (K independent salted md5s measured 2x the
+    whole probe's cost; a shared salted md5 still paid one md5 per gram
+    per consumer)."""
+    return hashed.select(
+        "*",
+        *[
+            (F.shiftrightunsigned("h", 14 * j) % BLOOM_BITS).alias(f"_b{j}")
+            for j in range(BLOOM_K)
+        ],
+    )
+
+
+def bloom_build(bench: DataFrame) -> str:
+    """Fold a bounded gram set's BLOOM_K bit positions into one
+    BLOOM_BITS-char '0'/'1' string (a distinct-bit collect — at most
+    BLOOM_BITS rows cross the driver, the pagerank-scalar discipline).
+    The returned string IS the filter: it ships to every task as ONE
+    string constant, where the gram set itself could not broadcast."""
+    set_bits = {
+        r.bit
+        for r in _with_bloom_bits(bench)
+        .select(
+            F.explode(
+                F.array(*[f"_b{j}" for j in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    }
+    return "".join(
+        "1" if i in set_bits else "0" for i in range(BLOOM_BITS)
+    )
+
+
+def bloom_probe(grams: DataFrame, bits: str) -> DataFrame:
+    """Keep only (doc_id, h) rows whose K Bloom bits are all '1' in
+    `bits` — K O(1) substring probes against a single string LITERAL
+    (codegen references one constant; no join, no shuffle, no per-row
+    array construction). No false negatives by construction; false
+    positives are eliminated by the caller's exact verify join."""
+    cond = None
+    for j in range(BLOOM_K):
+        t = F.expr(f"substring(_bs, CAST(_b{j} AS INT) + 1, 1) = '1'")
+        cond = t if cond is None else (cond & t)
+    probed = _with_bloom_bits(grams).select(
+        "*", F.lit(bits).alias("_bs")
+    )
+    return probed.filter(cond).select("doc_id", "h")
+
+
+def contamination_bloom(
+    corpus: DataFrame, bench_mod: int = 97, n: int = 5
+) -> DataFrame:
+    """contamination()'s report through a BLOOM-FILTER prefilter — the
+    decontamination shape for when the benchmark gram set outgrows a set
+    broadcast (a 100M-gram eval suite is GBs of strings; its Bloom is
+    bits). Gram identity is the portable 60-bit hash, assigned AT THE
+    EXPLODE so gram strings die in the scan projection (the
+    split_contamination allocation discipline — the string-gram variant's
+    checkpoint reproducibly hit the degraded-heap regime); the oracle
+    replays the identical hashing. Three stages:
+
+      1. build: the benchmark keys' BLOOM_K bit positions (14-bit slices
+         of the key itself — zero extra hashing) distinct-collected into a
+         BLOOM_BITS-char bit string (bounded driver traffic).
+      2. probe: every corpus gram key tests its K bits against the string
+         LITERAL in-row — pure codegen, no join, no shuffle; only Bloom
+         survivors (true hits + bounded false positives) continue.
+      3. verify: survivors equi-join the true benchmark key set,
+         eliminating false positives — the output is exact over the hashed
+         gram identity and the oracle replays the same join. A Bloom
+         filter has no false negatives BY CONSTRUCTION (every inserted
+         key's bits are set), so the prefilter is sound, not
+         probabilistic-recall.
+
+    The (doc_id, h) gram table feeds build, probe, and verify — eagerly
+    checkpointed once (16 bytes/row; the multi-consumer reuse
+    discipline)."""
+    from gpu_mapreduce_spark.functions.portable import hash60
+
+    t = tokens(F.col("text"))
+    grams = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(_ngrams(t, n), hash60))).alias(
+            "h"
+        ),
+    ).localCheckpoint(eager=True)
+    bench = (
+        grams.filter(
+            ((F.col("doc_id") % bench_mod) == 0) & (F.col("doc_id") < 1_000_000)
+        )
+        .select("h")
+        .distinct()
+    )
+    survivors = bloom_probe(grams, bloom_build(bench))
+    hits = (
+        # bcast-audit: bounded (fixed benchmark gram set; at production
+        # sizing this verify join is a shuffle equi-join over the already
+        # Bloom-pruned survivor stream)
+        survivors.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_contam"))
+    )
+    n_c = F.coalesce(F.col("n_contam"), F.lit(0)).cast("int")
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id", n_c.alias("n_contam"), (n_c > 0).alias("contaminated"))
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document: duplicate word-n-gram
     fractions (1 - distinct/total for n = 2, 3) and the most-frequent-token

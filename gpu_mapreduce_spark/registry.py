@@ -112,6 +112,7 @@ def load_all() -> dict[str, QueryDef]:
             funnel_stream,
             ann_append,
             hll,
+            bloom_decontam,
         )
 
         _loaded = True

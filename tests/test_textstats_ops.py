@@ -70,3 +70,49 @@ def test_pack_sequences_invariants(spark):
         by_shard.setdefault(r["shard"], []).append(r["bin"])
     for shard, bins in by_shard.items():
         assert sorted(bins) == list(range(len(bins))), (shard, sorted(bins))
+
+
+def test_contamination_bloom_prunes_and_matches(spark):
+    """The Bloom prefilter must (a) reproduce the set-broadcast path's
+    exact result and (b) actually prune: with 1024 bits, K=4 and a small
+    benchmark set, the false-positive rate is tiny, so the survivor stream
+    must be a small fraction of the gram stream."""
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.operators import textstats as ts
+    from gpu_mapreduce_spark.queries.textstats import _wide
+    from gpu_mapreduce_spark.sources import fixtures
+    from tests.conftest import SF_DIR
+
+    from gpu_mapreduce_spark.functions.portable import hash60
+
+    corpus = _wide(fixtures.corpus(spark, SF_DIR))
+    exact = sorted(map(tuple, ts.contamination(corpus).collect()))
+    bloom = sorted(map(tuple, ts.contamination_bloom(corpus).collect()))
+    # string-keyed and hash-keyed reports agree (no 60-bit collisions in
+    # the fixture; a collision would fail here loudly)
+    assert bloom == exact
+    # pruning: run the probe directly and measure the false-positive mass
+    t = ts.tokens(F.col("text"))
+    grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(ts._ngrams(t, 5), hash60))
+        ).alias("h"),
+    ).localCheckpoint(eager=True)
+    bench = (
+        grams.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1_000_000))
+        .select("h")
+        .distinct()
+    )
+    survivors = ts.bloom_probe(grams, ts.bloom_build(bench))
+    total, kept = grams.count(), survivors.count()
+    true_hits = sum(r[1] for r in exact)
+    assert kept >= true_hits, "Bloom must have no false negatives"
+    # FP mass: survivors beyond the true hits must be a small fraction of
+    # the clean stream (16384 bits / K=4 / small bench set -> low FP rate)
+    assert (kept - true_hits) <= 0.15 * (total - true_hits), (
+        kept,
+        true_hits,
+        total,
+    )
