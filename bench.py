@@ -129,7 +129,10 @@ def main() -> None:
         # one-sided noise; it cannot flatter a real plan regression, which
         # slows every run.
         samples: list[float] = []
-        gc_ms0 = _gc_ms(spark)
+        gc_in_samples = 0  # GC-ms WITHIN timed regions only: the forced
+        #   collections between samples are deliberate and would otherwise
+        #   dominate the telemetry, hiding the organic pressure it exists
+        #   to expose (review note r06)
         try:
             # Two steady-state samples; then, if the min still reads past 2x
             # the operative baseline, up to two more GC-separated samples
@@ -142,10 +145,12 @@ def main() -> None:
                 and min(samples) > 2.0 * base
                 and len(samples) < 4
             ):
+                gc_ms0 = _gc_ms(spark)
                 t0 = time.perf_counter()
                 df = q.fn(spark, sf_dir)
                 n = len(df.collect())  # full materialization: no pruning
                 samples.append(time.perf_counter() - t0)
+                gc_in_samples += _gc_ms(spark) - gc_ms0
                 gc.collect()
                 spark._jvm.System.gc()
         except Exception as exc:  # noqa: BLE001
@@ -155,7 +160,7 @@ def main() -> None:
         times[name] = round(min(samples), 3)
         all_samples[name] = [round(s, 3) for s in samples]
         telemetry[name] = {
-            "gc_ms": _gc_ms(spark) - gc_ms0,
+            "gc_ms": gc_in_samples,
             "heap_mb": _heap_mb(spark),
         }
         print(

@@ -238,7 +238,11 @@ def incremental_status(
 
 
 def minhash_band_entries(
-    docs: DataFrame, bands: int = 16, rows: int = 2, seed: int = 42
+    docs: DataFrame,
+    bands: int = 16,
+    rows: int = 2,
+    seed: int = 42,
+    checkpoint_sig: bool = False,
 ) -> DataFrame:
     """LSH bucket entries (doc_id, band, bh) from a (doc_id, shs) table:
     bands*rows MinHash permutations h_i(sh) = xxhash64(seed, i, sh), each
@@ -246,10 +250,13 @@ def minhash_band_entries(
     no wide-aggregate shuffle), then each band's `rows` signature slots
     hashed into one bucket key. Shared by minhash_lsh_pairs (self-join both
     sides) and the at-rest LSH index (existing corpus's entries persisted
-    once, probed by delta batches). The signature projection is eagerly
-    checkpointed — consumers read the entries through a self-join or write
-    them to a sink, and re-deriving 32 array_min passes per read is the
-    dominant cost."""
+    once, probed by delta batches). `checkpoint_sig` eagerly materializes
+    the signature projection — set it when the result is read more than
+    once (minhash_lsh_pairs' band self-join reads both sides, and
+    re-deriving 32 array_min passes per read is the dominant cost); the
+    single-consumer sites (index write, delta probe) leave it off, where
+    the materialization would be a pure extra write+read per run (review
+    note r06)."""
     nperm = bands * rows
 
     def _perm_min(i: int) -> Column:
@@ -261,7 +268,9 @@ def minhash_band_entries(
 
     sig = docs.select(
         "doc_id", *[_perm_min(i).alias(f"m{i}") for i in range(nperm)]
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint_sig:
+        sig = sig.localCheckpoint(eager=True)
     return sig.select(
         "doc_id",
         F.explode(
@@ -325,7 +334,9 @@ def minhash_lsh_pairs(
         .filter(F.size("shs") > 0)
     )
 
-    band_entries = minhash_band_entries(docs, bands=bands, rows=rows, seed=seed)
+    band_entries = minhash_band_entries(
+        docs, bands=bands, rows=rows, seed=seed, checkpoint_sig=True
+    )
     ba = band_entries.select(F.col("doc_id").alias("a"), "band", "bh")
     bb = band_entries.select(F.col("doc_id").alias("b"), "band", "bh")
     cand = (

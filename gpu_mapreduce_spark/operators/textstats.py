@@ -219,8 +219,10 @@ def contamination(
 BLOOM_BITS = 16384  # sized for the fixture's benchmark gram set (n ~ 3.5k
 #   at sf0.1): fill = 1-exp(-K*n/m) ~ 0.57, FP = fill^K ~ 11% worst-case,
 #   ~4e-5 at sf0.001. Production sizes m proportional to n (~10 bits/gram
-#   for ~1% FP) — the array is bits, so even 1e9 grams is a 1.25 GB
-#   broadcast where the gram strings themselves would be ~40 GB.
+#   for ~1% FP) — bits, so even 1e9 grams is ~1.25 GB of filter state
+#   (shipped as a broadcast variable / runtime Bloom injection at that
+#   sizing, not an in-plan literal — see bloom_probe) where the gram
+#   strings themselves would be ~40 GB.
 BLOOM_K = 4
 
 
@@ -265,10 +267,20 @@ def bloom_build(bench: DataFrame) -> str:
 
 def bloom_probe(grams: DataFrame, bits: str) -> DataFrame:
     """Keep only (doc_id, h) rows whose K Bloom bits are all '1' in
-    `bits` — K O(1) substring probes against a single string LITERAL
-    (codegen references one constant; no join, no shuffle, no per-row
-    array construction). No false negatives by construction; false
-    positives are eliminated by the caller's exact verify join."""
+    `bits` — K bounded substring probes (byte-offset reads into one
+    string constant, O(BLOOM_BITS) worst case; codegen references the
+    literal once, no join, no shuffle, no per-row array construction).
+    No false negatives by construction; false positives are eliminated
+    by the caller's exact verify join.
+
+    Mechanism vs scale: an in-plan literal is the TEST-SCALE stand-in.
+    A production-sized filter (GBs of bits) ships as a broadcast
+    variable probed in an Arrow-batched UDF, or comes for free from
+    Spark's own runtime Bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled inserts exactly
+    this might_contain prefilter on the shuffle-join's probe side) —
+    the QUERY SHAPE (bits prefilter -> exact verify equi-join) is what
+    this operator pins, and it is unchanged under either transport."""
     cond = None
     for j in range(BLOOM_K):
         t = F.expr(f"substring(_bs, CAST(_b{j} AS INT) + 1, 1) = '1'")

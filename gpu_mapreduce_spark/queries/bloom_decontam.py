@@ -3,11 +3,12 @@
 contamination_ngrams broadcasts the benchmark GRAM SET; that stops working
 when the eval suite's gram set outgrows a broadcast (100M grams of string
 payload). The production shape is a Bloom prefilter: fold the benchmark
-grams into a fixed bit array (here 1024 bits as 32 integer words — a few
-GB at real sizing, still broadcast-friendly because it is bits, not
-strings), test every corpus gram's K bits IN-ROW (pure codegen integer
-ops, no join), and run the exact verification join only over the
-survivors. Bloom filters have no false negatives by construction, so the
+grams into a fixed bit array (here 16384 bits carried as one string
+constant; at real sizing the bits ship as a broadcast variable or via
+Spark's built-in runtime Bloom-filter injection — see
+operators/textstats.bloom_probe on mechanism vs scale), test every
+corpus gram's K bits IN-ROW (no join), and run the exact verification
+join only over the survivors. Bloom filters have no false negatives by construction, so the
 prefilter is sound — the output is the exact contamination report over the
 hashed gram identity (the dedup_minhash pattern: approximate candidates,
 exact verify, exact oracle — but with a guaranteed rather than

@@ -31,12 +31,13 @@ from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources.tables import table
 
 _WEEK_MS = 7 * 24 * 3600 * 1000
-_STAGES = ("view", "click", "purchase")
-_CONV_MS = 24 * 3600 * 1000  # conversion window per stage: 24 hours
-#   (chosen to discriminate on the fixture's ~2-events/user/day stream:
-#    sf0.01 funnel 150 -> 60 -> 25, sf0.1 1500 -> 536 -> 217; without a
-#    window every user eventually does everything and the ordered
-#    semantics are invisible)
+# stage names + conversion window live in streaming/pipeline.py (the
+# side-effect-free module) so the batch queries, both oracles, and the
+# streaming dual share ONE definition — rationale at the definition site
+from gpu_mapreduce_spark.streaming.pipeline import (  # noqa: E402
+    FUNNEL_CONV_MS as _CONV_MS,
+    FUNNEL_STAGES as _STAGES,
+)
 
 
 @register(

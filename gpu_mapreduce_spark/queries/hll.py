@@ -40,9 +40,10 @@ def hll_registers(docs: DataFrame, text_col: str = "text") -> DataFrame:
     both engines, so the oracle needs no zero-register padding (the m=64
     state reconstructs with reg=0 for missing buckets, which is exactly
     how tests/test_hll.py estimates)."""
+    from gpu_mapreduce_spark.functions.portable import hash60
+
     sh = dedup.shingle_set(docs, text_col=text_col)
-    h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-    hv = sh.select(h.alias("h"))
+    hv = sh.select(hash60(F.col("sh")).alias("h"))
     rb = hv.select(
         (F.col("h") % _M).cast("int").alias("bucket"),
         F.shiftrightunsigned("h", 6).alias("v"),

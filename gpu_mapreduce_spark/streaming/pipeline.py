@@ -191,8 +191,19 @@ def attributed_purchases(events: DataFrame, streaming: bool = False) -> DataFram
     )
 
 
+# SINGLE source for the funnel's stage names and 24 h conversion window —
+# queries/funnel.py and queries/funnel_stream.py import these (and splice
+# them into both registered oracles); a second copy would let an oracle
+# and the streaming dual silently diverge (review note r06). Defined HERE
+# rather than in queries/funnel.py because importing a registering module
+# from this side-effect-free one would fire funnel's registrations at the
+# importer's load position and scramble the registry-order discipline.
 FUNNEL_STAGES = ("view", "click", "purchase")
-FUNNEL_CONV_MS = 24 * 3600 * 1000  # queries/funnel.py's 24 h stage window
+FUNNEL_CONV_MS = 24 * 3600 * 1000  # conversion window per stage: 24 hours
+#   (chosen to discriminate on the fixture's ~2-events/user/day stream:
+#    sf0.01 funnel 150 -> 60 -> 25, sf0.1 1500 -> 536 -> 217; without a
+#    window every user eventually does everything and the ordered
+#    semantics are invisible)
 
 
 def funnel_stages_batch(
@@ -207,10 +218,14 @@ def funnel_stages_batch(
     ev = events.select(
         "user_id", "event_type", F.unix_millis("ts").alias("tms")
     )
+    # s1 feeds s2 AND the final join (s2 likewise): eager checkpoints keep
+    # each stage computed once — the same multi-consumer discipline this
+    # chain's twin in queries/funnel.event_funnel applies
     s1 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("tms").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
@@ -221,6 +236,7 @@ def funnel_stages_batch(
         )
         .groupBy("user_id")
         .agg(F.min("tms").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[2])

@@ -74,7 +74,7 @@ def test_pack_sequences_invariants(spark):
 
 def test_contamination_bloom_prunes_and_matches(spark):
     """The Bloom prefilter must (a) reproduce the set-broadcast path's
-    exact result and (b) actually prune: with 1024 bits, K=4 and a small
+    exact result and (b) actually prune: with 16384 bits, K=4 and a small
     benchmark set, the false-positive rate is tiny, so the survivor stream
     must be a small fraction of the gram stream."""
     from pyspark.sql import functions as F
