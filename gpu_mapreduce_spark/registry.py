@@ -113,6 +113,8 @@ def load_all() -> dict[str, QueryDef]:
             ann_append,
             hll,
             bloom_decontam,
+            sampling_pps,
+            order_stats,
         )
 
         _loaded = True
