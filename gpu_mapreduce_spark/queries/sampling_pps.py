@@ -75,8 +75,10 @@ def pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ht_fp = the Horvitz–Thompson weight 1/π in basis points."""
     docs = table(spark, sf_dir, "documents")
     # W: one scalar aggregate, collected (constant driver traffic; at scale
-    # this is a table statistic). Python-int exact.
-    w_tot = docs.agg(F.sum("n_chars")).collect()[0][0]
+    # this is a table statistic). Python-int exact. SUM over zero rows is
+    # NULL — fold to 0 so the interpolated SQL below stays well-formed on an
+    # empty corpus (the filter is then vacuous: no rows to keep).
+    w_tot = docs.agg(F.sum("n_chars")).collect()[0][0] or 0
 
     h = hash60(F.concat(F.lit("pps|"), F.col("doc_id").cast("string")))
     # h < 2^60 (19 digits) × W (≤18 digits) → DECIMAL(38,0), exact;
