@@ -26,8 +26,10 @@ Scale notes (100 TB): the W aggregate is one partially-aggregated scalar
 (collected driver-side — the pagerank discipline; in production it comes
 from table statistics), and the sample itself is a MAP-ONLY filter over
 the corpus scan — no shuffle, no sort, no per-stratum state. The
-DECIMAL(38,0) cross-multiplication holds to W ≤ 10^18 chars (an exabyte);
-the BIGINT 10000·W HT numerator to W ≤ 9·10^14 — both beyond the design
+DECIMAL(38,0) cross-multiplication holds to W < 10^19 chars (ten
+exabytes); the HT weight is all-BIGINT on both engines (the k·n_chars
+divisor cast explicitly so no 32-bit cap hides under the division) and
+its 10000·W numerator holds to W ≤ 9·10^14 — both beyond the design
 point. Sample size is Binomial(N, ~k/N) around k — the trade every
 hash-threshold sampler in this repo makes to avoid a global weighted
 rank.
@@ -57,9 +59,10 @@ _K_SHIFT = _K << 60  # k·2^60 = 2^66; exceeds int64 — always a decimal/HUGEIN
     oracle=f"""
         WITH w AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents)
         SELECT doc_id, lang, n_chars,
-               CASE WHEN {_K} * n_chars >= (SELECT tot FROM w)
+               CASE WHEN {_K} * CAST(n_chars AS BIGINT) >= (SELECT tot FROM w)
                     THEN CAST(10000 AS BIGINT)
-                    ELSE (10000 * (SELECT tot FROM w)) // ({_K} * n_chars)
+                    ELSE (10000 * (SELECT tot FROM w))
+                         // ({_K} * CAST(n_chars AS BIGINT))
                END AS ht_fp
         FROM documents
         WHERE CAST(('0x' || substr(md5('pps|' || CAST(doc_id AS VARCHAR)),
@@ -81,9 +84,10 @@ def pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_tot = docs.agg(F.sum("n_chars")).collect()[0][0] or 0
 
     h = hash60(F.concat(F.lit("pps|"), F.col("doc_id").cast("string")))
-    # h < 2^60 (19 digits) × W (≤18 digits) → DECIMAL(38,0), exact;
+    # h < 2^60 (≤1.16·10^18, 19 digits) × W (≤19 digits) → DECIMAL(38,0):
+    # the product tops out at ~1.2·10^37 < 10^38, exact;
     # n_chars (≤10 digits) × k·2^60 (20 digits) → DECIMAL(31,0), exact.
-    lhs = h.cast("decimal(19,0)") * F.lit(w_tot).cast("decimal(18,0)")
+    lhs = h.cast("decimal(19,0)") * F.lit(w_tot).cast("decimal(19,0)")
     rhs = F.col("n_chars").cast("decimal(10,0)") * F.expr(
         f"CAST('{_K_SHIFT}' AS DECIMAL(20,0))"
     )
@@ -99,7 +103,8 @@ def pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(
                 F.expr(
-                    f"(10000 * CAST({w_tot} AS BIGINT)) div ({_K} * n_chars)"
+                    f"(10000 * CAST({w_tot} AS BIGINT))"
+                    f" div ({_K} * CAST(n_chars AS BIGINT))"
                 )
             )
             .alias("ht_fp"),

@@ -140,14 +140,17 @@ def test_global_ranks_matches_model(spark, vals, p):
     assert got == want
 
 
+# Coordinates are exact 0.0 or magnitude >= 1e-3: if the vector max were a
+# subnormal, scale = mx/127 underflows to exactly 0.0 while mx > 0, the
+# operator correctly takes its zero-scale branch, and the <= scale/2 bound
+# below is vacuously violated — a strategy flake, not an operator bug.
+_coord = st.one_of(
+    st.just(0.0),
+    st.floats(min_value=1e-3, max_value=8.0, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-8.0, max_value=-1e-3, allow_nan=False, allow_infinity=False),
+)
 embeddings = st.lists(
-    st.lists(
-        st.floats(
-            min_value=-8.0, max_value=8.0, allow_nan=False, allow_infinity=False
-        ),
-        min_size=1,
-        max_size=6,
-    ),
+    st.lists(_coord, min_size=1, max_size=6),
     min_size=1,
     max_size=8,
 )
