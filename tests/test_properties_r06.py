@@ -12,9 +12,16 @@ import hashlib
 import math
 import re
 
+import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
+from gpu_mapreduce_spark.functions.portable import (
+    hash60,
+    sql_uniform01,
+    uniform01,
+)
 from gpu_mapreduce_spark.operators import dedup, similarity
 from gpu_mapreduce_spark.operators.prefix import global_ranks_and_count
 from gpu_mapreduce_spark.queries.hll import _M, _RHO_MAX, hll_registers
@@ -138,6 +145,38 @@ def test_global_ranks_matches_model(spark, vals, p):
     }
     assert n == len(vals)
     assert got == want
+
+
+# Valid non-surrogate text without NUL (neither engine round-trips \x00
+# through a VARCHAR parameter identically); everything else — multi-byte
+# unicode, combining marks, whitespace runs — must hash identically, since
+# every value-hashed oracle in the repo rests on this three-way agreement.
+hash_inputs = st.lists(
+    st.text(max_size=40).filter(lambda t: "\x00" not in t),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(strings=hash_inputs)
+@settings(**_SETTINGS)
+def test_hash60_and_uniform01_triple_parity(spark, strings):
+    """Spark hash60/uniform01 == DuckDB mirror == pure-Python md5 model on
+    arbitrary unicode — the contract under every hash-reproducing oracle."""
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = df.select(
+        hash60(F.col("s")).alias("h"), uniform01(F.col("s")).alias("u")
+    ).collect()
+    con = duckdb.connect()
+    for s, row in zip(strings, got):
+        model_h = _h60(s)
+        duck_h, duck_u = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT, "
+            + sql_uniform01("?"),
+            [s, s],
+        ).fetchone()
+        assert row.h == model_h == duck_h
+        assert row.u == duck_u == float((model_h >> 7) * 2.0**-53)
 
 
 # Coordinates are exact 0.0 or magnitude >= 1e-3: if the vector max were a
