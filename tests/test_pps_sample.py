@@ -6,6 +6,8 @@ concentration."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from gpu_mapreduce_spark.queries.sampling_pps import _K, pps_weighted_sample
@@ -49,6 +51,25 @@ def test_ht_weights_reconstruct_total(spark):
             contrib = r["n_chars"] * r["ht_fp"]
             target = 10000 * w_tot / _K
             assert abs(contrib - target) <= r["n_chars"], r
+
+
+def test_plan_is_map_only(spark):
+    """The scale claim in the module docstring, pinned: after the collected
+    scalar-W aggregate, the sample itself is ONE pruned 3-column scan +
+    filter + project with no join and no shuffle except the output sort's
+    range exchange."""
+    df = pps_weighted_sample(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], plan
+    assert plan.count("FileScan") == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(f.split(":")[0] for f in m.group(1).split(",")) == [
+        "doc_id",
+        "lang",
+        "n_chars",
+    ], plan
 
 
 def test_inclusion_is_size_monotone_in_probability(spark):
