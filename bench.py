@@ -90,6 +90,21 @@ def main() -> None:
     spark = get_spark("bench")
     queries = {n: q for n, q in load_all().items() if q.bench}
     baseline = _load_baseline()
+
+    # Residual-load gate: a bench started while a previous Spark JVM is
+    # still winding down (the driver's correctness pass, pytest) reads
+    # 1.3-2x high across the board, and sub-second scan-bound queries can
+    # then record 4 consecutive bad samples — a false flag the adaptive
+    # re-sampler cannot escape (r06 postmortem: degree_stats /
+    # events_windowed / intcount flagged past 2x at load 9.9, clean on the
+    # same code 90 s later at load 1.7). Wait, bounded, for the 1-minute
+    # load average to drop below the gate before timing anything; the wait
+    # is recorded in the artifact so a gated run is distinguishable.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+    load_wait_s = 0
+    while os.getloadavg()[0] > load_gate and load_wait_s < 300:
+        time.sleep(10)
+        load_wait_s += 10
     load_start = [round(x, 2) for x in os.getloadavg()]
 
     # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
@@ -185,6 +200,7 @@ def main() -> None:
         "telemetry": telemetry,
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "load_wait_s": load_wait_s,
         "queries_ok": len(times),
         "queries_total": len(queries),
         "sf": _sf_of(sf_dir),
