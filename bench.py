@@ -23,12 +23,15 @@ degraded-heap regime where BOTH samples of a query land 2-8x high (r05:
 the whole common set read 1.34x its own floors while isolated re-runs all
 sat at baseline). Three defenses, so the artifact stays a regression
 signal rather than a heap-state report:
-  * every sample is recorded in a top-level "samples" map (min AND max
-    visible to the judge, not just the min);
-  * per-query telemetry ("telemetry" map): cumulative JVM GC-time delta
-    across the timed samples and post-query heap-used MB, plus run-level
-    os.getloadavg() at start/end — a regime hit is machine-adjudicable
-    from the artifact alone;
+  * every sample is recorded in a "samples" map (min AND max visible to
+    the judge, not just the min) — written to the BENCH_TELEMETRY.json
+    sidecar and echoed on stderr, NOT the stdout line: the round driver
+    tail-captures ~2000 chars of stdout, and the r06 artifact lost all
+    timings when telemetry bloated the line ("parsed": null);
+  * per-query telemetry (sidecar "telemetry" map): cumulative JVM GC-time
+    delta across the timed samples and post-query heap-used MB, plus
+    run-level os.getloadavg() at start/end — a regime hit is
+    machine-adjudicable from the artifacts alone;
   * adaptive re-sampling: when a query's min exceeds 2x its
     BASELINE_BENCH.json entry, up to two extra GC-separated samples run
     before the number is recorded — a genuine plan regression fails all
@@ -191,23 +194,51 @@ def main() -> None:
     # crashes would "improve" the total). With any error, value is null and
     # consumers must read queries/errors; queries_ok/queries_total make the
     # coverage explicit either way.
-    payload: dict = {
-        "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3) if not errors else None,
-        "unit": "sec",
-        "queries": times,
+    #
+    # The final stdout line MUST stay compact: the round driver captures only
+    # the tail of stdout (~2000 chars), and the r06 artifact lost ALL
+    # per-query timings when samples+telemetry pushed this line past that
+    # window ("parsed": null — the exact regression this split prevents).
+    # Everything adjudication-grade but bulky (all samples, GC/heap
+    # telemetry, load averages) goes to a sidecar JSON file next to this
+    # script plus a labelled stderr line; the stdout line carries only the
+    # driver-parsed fields.
+    sidecar: dict = {
         "samples": all_samples,
         "telemetry": telemetry,
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "load_wait_s": load_wait_s,
+    }
+    if errors:
+        sidecar["errors"] = errors
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_TELEMETRY.json"
+    )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError as exc:  # read-only checkout: telemetry is best-effort
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    print("# telemetry: " + json.dumps(sidecar), file=sys.stderr)
+
+    payload: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3) if not errors else None,
+        "unit": "sec",
+        "queries": times,
         "queries_ok": len(times),
         "queries_total": len(queries),
         "sf": _sf_of(sf_dir),
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        # Names only on the compact line (full messages in the sidecar):
+        # one long exception string could re-break the tail-capture budget.
+        payload["errors"] = sorted(errors)
+    # separators=(',',':') — every byte of this line competes with the
+    # driver's ~2000-char stdout tail capture (46 real query names fit in
+    # ~1.3 kB compact vs ~2.0 kB with default spacing).
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -3,11 +3,13 @@
 metadata, decode / feature-extract / frame-sample as Arrow-batched
 mapInPandas operators.
 
-The container has no image/audio codecs, so the actual decode step is
-STUBBED behind `decode_real` (NotImplementedError) and the tested path uses
-a deterministic fake "decoder" (byte-level statistics) — the Spark-side
-plumbing (binary schema, metadata struct, Arrow batch shape, partitioning)
-is real and oracle-/test-verified.
+The container ships no codec LIBRARIES, so `decode_real` decodes the two
+real formats a pure stdlib parser can handle exactly — 24-bpp BI_RGB BMP
+and PCM16 WAV (struct-only; tested against hand-built files) — and
+quarantines everything else as fmt='unknown' rows; `decode_fake`
+(deterministic byte statistics) remains the oracle-replayable stand-in
+the registered queries use, exercising the same Arrow plumbing (binary
+schema, metadata struct, batch shape, partitioning).
 
 Scale notes: media rows are wide (MBs of binary per row at production
 scale); mapInPandas streams Arrow batches so executor memory holds one
@@ -20,6 +22,7 @@ parquet column pruning.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -149,11 +152,138 @@ def resize_stub(media: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
     )
 
 
+def decode_bmp_bytes(data: bytes) -> dict:
+    """Pure-stdlib decode of an uncompressed 24-bpp BI_RGB Windows bitmap
+    (BITMAPINFOHEADER). Returns width/height/channels, the pixel-value
+    count and exact integer value sum, and the md5 of the CANONICAL
+    decoded stream (top-down, row-major, RGB byte order) — i.e. the
+    md5 changes if the decode (row padding, bottom-up flip, BGR swap)
+    is wrong, not just if the input bytes differ. Raises ValueError on
+    anything that isn't this one honestly-supported format."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if hdr_size < 40 or bpp != 24 or compression != 0 or width <= 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={compression})")
+    flip = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    row_bytes = ((width * 3 + 3) // 4) * 4  # rows pad to 4-byte boundary
+    if len(data) < pix_off + row_bytes * height:
+        raise ValueError("truncated BMP pixel array")
+    md5 = hashlib.md5()
+    vsum = 0
+    rows = range(height - 1, -1, -1) if flip else range(height)
+    for r in rows:
+        row = data[pix_off + r * row_bytes : pix_off + r * row_bytes + width * 3]
+        # stored BGR -> canonical RGB
+        rgb = bytes(
+            row[i + (2 - c)]
+            for i in range(0, width * 3, 3)
+            for c in range(3)
+        )
+        md5.update(rgb)
+        vsum += sum(rgb)
+    return {
+        "fmt": "bmp",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "sample_rate": None,
+        "n_values": width * height * 3,
+        "value_sum": vsum,
+        "decoded_md5": md5.hexdigest(),
+    }
+
+
+def decode_wav_bytes(data: bytes) -> dict:
+    """Pure-stdlib decode of a RIFF/WAVE file with 16-bit PCM samples.
+    Walks the chunk list (2-byte aligned per RIFF), requires a PCM fmt
+    chunk and a data chunk. Returns channels/sample_rate, total sample
+    count, the exact integer sum of all sample values, and the md5 of the
+    canonical little-endian int16 sample stream. Raises ValueError on
+    non-PCM16 content."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format} bits={bits})")
+    n = len(pcm) // 2
+    samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+    return {
+        "fmt": "wav",
+        "width": None,
+        "height": None,
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_values": n,
+        "value_sum": sum(samples),
+        "decoded_md5": hashlib.md5(pcm[: 2 * n]).hexdigest(),
+    }
+
+
+_DECODE_REAL_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, channels int,"
+    " sample_rate int, n_values bigint, value_sum bigint, decoded_md5 string"
+)
+
+
 def decode_real(media: DataFrame) -> DataFrame:
-    """Real codec decode — requires image/audio libraries this container
-    doesn't ship. The call signature and schema match decode_fake so a
-    deployment with codecs swaps implementations without plan changes."""
-    raise NotImplementedError(
-        "real media decoding needs PIL/soundfile/av; use decode_fake for the "
-        "pipeline shape, or install codecs and implement decode() here"
+    """Real decode of real formats, zero external codecs: 24-bpp BI_RGB
+    BMP and PCM16 WAV via the pure-stdlib parsers above, dispatched on
+    magic bytes inside one Arrow-batched mapInPandas pass (same plumbing
+    as decode_fake; a deployment adding PIL/soundfile extends the
+    dispatch table, not the plan). Undecodable payloads become one
+    fmt='unknown' row with NULL stats instead of failing the task — at
+    100 TB a corrupt object must cost one row, not a job retry; callers
+    count/quarantine them. decoded_md5 is the md5 of the CANONICAL
+    decoded stream (RGB top-down for bmp, LE int16 for wav), so a wrong
+    flip/pad/endianness decode changes the answer.
+
+    Reference parity: the reference's byte-payload map stage
+    (mrmpi map over file contents, e.g. app/wordfreq file variants) never
+    interprets media; this operator is the beyond-reference multimodal
+    axis with the decode made real (builder brief §multimodal)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "fmt", "width", "height", "channels",
+            "sample_rate", "n_values", "value_sum", "decoded_md5",
+        ]
+        for pdf in batches:
+            rows: list[list] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                try:
+                    if data[:2] == b"BM":
+                        d = decode_bmp_bytes(data)
+                    elif data[:4] == b"RIFF":
+                        d = decode_wav_bytes(data)
+                    else:
+                        raise ValueError("unknown magic")
+                except ValueError:
+                    d = {
+                        "fmt": "unknown", "width": None, "height": None,
+                        "channels": None, "sample_rate": None,
+                        "n_values": None, "value_sum": None,
+                        "decoded_md5": None,
+                    }
+                rows.append([mid, *(d[c] for c in cols[1:])])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, schema=_DECODE_REAL_SCHEMA
     )

@@ -57,11 +57,20 @@ def global_ranks_and_count(
     `rank_col`, computed with NO single-partition stage, plus the exact
     total row count N (the sum of the already-collected per-partition
     counts — free). The count job's per-partition totals are collected
-    driver-side (≤ num_partitions rows)."""
+    driver-side (≤ num_partitions rows).
+
+    Null ordering is pinned EXPLICITLY to ascending NULLS FIRST on both
+    the range exchange and the window (Spark's asc default, but DuckDB /
+    ANSI default to NULLS LAST): a nullable order column would otherwise
+    silently desync the rank against any SQL oracle replay. Oracles over
+    nullable keys must spell `ASC NULLS FIRST`; the registered consumers
+    rank on non-null keys (doc_id / token counts), where the two defaults
+    coincide."""
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
+    order = [F.col(c).asc_nulls_first() for c in order_cols]
     d = (
-        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        df.repartitionByRange(p, *order)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -74,7 +83,7 @@ def global_ranks_and_count(
         offs.append((pid, acc))
         acc += cnts.get(pid, 0)
     off_df = spark.createDataFrame(offs, f"{_PID} int, {_OFF} bigint")
-    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy(_PID).orderBy(*order)
     ranked = (
         d.join(F.broadcast(off_df), _PID)
         .withColumn(rank_col, (F.row_number().over(w) + F.col(_OFF)).cast("bigint"))

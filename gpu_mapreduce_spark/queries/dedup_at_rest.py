@@ -149,14 +149,20 @@ def dedup_lsh_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    # verification: banding-bounded candidate set broadcast against the two
-    # shingle stores; the intersect runs in-row, the arrays never shuffle
+    # verification: candidate volume is banding-bounded but grows with the
+    # delta size and bucket collisions (a skewed shingle inflates it), so
+    # the candidate side carries NO unconditional broadcast hint — AQE's
+    # runtime size check (autoBroadcastJoinThreshold against the candidates'
+    # ACTUAL bytes) is the count-gate, degrading to a hash join on keys
+    # when a batch outgrows it. Only the existing-side index scan stays
+    # shuffle-free by construction (pruned columns, joined on its own a
+    # key); the delta-side shingle arrays shuffle on b unless AQE
+    # broadcasts db too — |delta|-proportional, never corpus-proportional.
     da = idx_sh.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha"))
     db = ddocs.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     return (
-        # bcast-audit: bounded (banding-bounded candidate set)
-        da.join(F.broadcast(cand), "a")
+        da.join(cand, "a")
         .join(db, "b")
         .select(
             "a",

@@ -14,6 +14,16 @@ Scale notes (100 TB): identical topology to event_funnel (chained
 user-keyed min-reductions, one timestamp of state per user per stage,
 no window over a user's event list) minus the final global reduce —
 the output is user-cardinality, which is what a funnel SERVICE stores.
+
+Streaming-half delivery contract (mirrors the caveat at
+funnel_stages_stream): the 3-timestamp fold is exact when a user's
+history arrives within one trigger (the availableNow drain it is
+equality-tested under). On a multi-batch bus feed, (a) consumers must
+keep the LAST emitted row per user_id — the operator emits a row
+whenever the state tuple changes, never per-trigger duplicates — and
+(b) an earlier-arriving view can open a conversion window whose clicks
+were discarded in prior batches; the fix at that delivery model is a
+watermark-horizon event buffer per user (state SIZE change, same fold).
 """
 
 from __future__ import annotations

@@ -287,8 +287,9 @@ def funnel_stages_stream(
         stage = {
             s: tms[rows["event_type"] == s].tolist() for s in FUNNEL_STAGES
         }
-        if state.exists:
-            for s, prior in zip(FUNNEL_STAGES, state.get):
+        prior_state = tuple(state.get) if state.exists else None
+        if prior_state is not None:
+            for s, prior in zip(FUNNEL_STAGES, prior_state):
                 if prior >= 0:
                     stage[s].append(prior)
         t1 = min(stage[FUNNEL_STAGES[0]], default=-1)
@@ -308,8 +309,14 @@ def funnel_stages_stream(
             ),
             default=-1,
         )
-        state.update((int(t1), int(t2), int(t3)))
-        if t1 >= 0:
+        new_state = (int(t1), int(t2), int(t3))
+        state.update(new_state)
+        # Emit only when the tuple CHANGED (append mode re-emits forever
+        # otherwise: a multi-batch feed would yield one row per trigger for
+        # every sighted user). A user whose funnel evolves still emits one
+        # row per change, so multi-batch consumers must keep the LAST row
+        # per user_id — documented at the registered query.
+        if t1 >= 0 and new_state != prior_state:
             yield pd.DataFrame(
                 {"user_id": [user_id], "t1": [t1], "t2": [t2], "t3": [t3]}
             )

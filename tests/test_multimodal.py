@@ -1,13 +1,83 @@
 """Independent verification of the fake-decoder path (rows-only in the
-driver) and the stub contract for real decoding."""
+driver) and of decode_real against hand-built BMP/WAV files whose decoded
+statistics are computed here byte-by-byte, independently of the operator."""
 
 from __future__ import annotations
+
+import hashlib
+import struct
 
 import pytest
 
 from gpu_mapreduce_spark.operators import multimodal as mm
 from gpu_mapreduce_spark.sources.tables import table
 from tests.conftest import SF_DIR
+
+
+def _bmp_24(width: int, height: int, pixels_rgb: list[list[tuple]]) -> bytes:
+    """Build a real bottom-up 24-bpp BI_RGB BMP from top-down RGB rows,
+    including the 4-byte row padding — the parts a wrong decoder gets
+    wrong."""
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    pix = b""
+    for row in reversed(pixels_rgb):  # file stores bottom-up
+        raw = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # and BGR
+        pix += raw + b"\x00" * (row_bytes - len(raw))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pix), 2835, 2835, 0, 0)
+    return header + dib + pix
+
+
+def _wav_pcm16(channels: int, rate: int, samples: list[int]) -> bytes:
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_real_bmp_wav_and_quarantine(spark):
+    # 3x2 image: distinct channel values everywhere so a BGR-swap or
+    # bottom-up-flip mistake changes the canonical stream md5
+    rows_rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    bmp = _bmp_24(3, 2, rows_rgb)
+    canonical = b"".join(bytes(p) for row in rows_rgb for p in row)
+    samples = [0, 1000, -1000, 32767, -32768, 123]
+    wav = _wav_pcm16(2, 44100, samples)
+    media = spark.createDataFrame(
+        [(1, bmp), (2, wav), (3, b"\x89PNG not supported")],
+        "media_id bigint, content binary",
+    )
+    got = {r.media_id: r.asDict() for r in mm.decode_real(media).collect()}
+    assert got[1] == {
+        "media_id": 1, "fmt": "bmp", "width": 3, "height": 2,
+        "channels": 3, "sample_rate": None, "n_values": 18,
+        "value_sum": sum(sum(p) for row in rows_rgb for p in row),
+        "decoded_md5": hashlib.md5(canonical).hexdigest(),
+    }
+    assert got[2] == {
+        "media_id": 2, "fmt": "wav", "width": None, "height": None,
+        "channels": 2, "sample_rate": 44100, "n_values": len(samples),
+        "value_sum": sum(samples),
+        "decoded_md5": hashlib.md5(
+            struct.pack(f"<{len(samples)}h", *samples)
+        ).hexdigest(),
+    }
+    assert got[3]["fmt"] == "unknown" and got[3]["decoded_md5"] is None
+
+
+def test_decode_real_pure_parsers_reject_malformed():
+    with pytest.raises(ValueError):  # truncated pixel array
+        mm.decode_bmp_bytes(_bmp_24(3, 2, [[(0, 0, 0)] * 3] * 2)[:-5])
+    with pytest.raises(ValueError):  # 8-bit PCM unsupported
+        bad = bytearray(_wav_pcm16(1, 8000, [1, 2, 3]))
+        bad[34] = 8  # bits_per_sample field
+        mm.decode_wav_bytes(bytes(bad))
 
 
 def test_decode_fake_matches_python(spark, ddb):
@@ -31,7 +101,11 @@ def test_decode_fake_matches_python(spark, ddb):
         assert hist16 == hist
 
 
-def test_decode_real_is_stubbed(spark):
+def test_decode_real_quarantines_nonmedia_corpus(spark):
+    """The documents-derived media table's utf8 payloads are not BMP/WAV:
+    every row must land in the fmt='unknown' quarantine, none may error."""
     docs = table(spark, SF_DIR, "documents")
-    with pytest.raises(NotImplementedError):
-        mm.decode_real(mm.media_table(docs))
+    out = mm.decode_real(mm.media_table(docs).limit(20))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.fmt == "unknown" and r.value_sum is None for r in rows)
