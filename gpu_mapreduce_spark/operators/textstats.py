@@ -140,6 +140,33 @@ def _ngrams(t: Column, n: int) -> Column:
     )
 
 
+def hashed_grams(corpus: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, h): each document's DISTINCT word n-grams as portable
+    60-bit BIGINT keys — the shared front end of both decontamination
+    queries. Gram strings die inside one scan-shaped stage (tokenize →
+    gram array → explode → md5 in the SAME projection); only 16-byte
+    (doc_id, h) pairs reach the dedup exchange.
+
+    Shape rationale (r07, measured at sf0.1): hashing INSIDE the array
+    (array_distinct(transform(ngrams, hash60))) keeps every md5/conv in
+    Spark's interpreted higher-order-function evaluator with the token
+    array spliced into the lambda — steady-state ~1.5-4 s with
+    reproducible 17-68 s JIT-deopt excursions on repeat execution. This
+    flat form runs the md5 in whole-stage codegen and replaces the
+    per-doc array_distinct with a map-side-combinable hash aggregate:
+    0.6-1.4 s steady, no excursions, identical rows. At 100 TB the
+    dropDuplicates exchange carries already-combined narrow pairs —
+    the canonical distinct topology."""
+    from gpu_mapreduce_spark.functions.portable import hash60
+
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("_t"))
+    return (
+        toks.select("doc_id", F.explode(_ngrams(F.col("_t"), n)).alias("_g"))
+        .select("doc_id", hash60(F.col("_g")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+
+
 # PII patterns, written to the COMMON subset of Java regex (Spark) and RE2
 # (DuckDB): literal classes, bounded repeats, \b word boundaries — no
 # lookaround, no backrefs (RE2 has neither), so both engines match the same
@@ -267,11 +294,15 @@ def bloom_build(bench: DataFrame) -> str:
 
 def bloom_probe(grams: DataFrame, bits: str) -> DataFrame:
     """Keep only (doc_id, h) rows whose K Bloom bits are all '1' in
-    `bits` — K bounded substring probes (byte-offset reads into one
-    string constant, O(BLOOM_BITS) worst case; codegen references the
-    literal once, no join, no shuffle, no per-row array construction).
-    No false negatives by construction; false positives are eliminated
-    by the caller's exact verify join.
+    `bits` — the filter ships as BLOOM_BITS/64 packed BIGINT words in one
+    array literal and each probe is element_at + shift + mask: O(1)
+    integer codegen per probe, no join, no shuffle. (The first cut read
+    the '0'/'1' string literal with substring(_bs, _b+1, 1); UTF8String
+    substring COUNTS CODE POINTS from the start, so every probe walked
+    ~BLOOM_BITS/2 bytes of the constant — 8 s for 340k rows at sf0.1
+    against 0.3 s for the packed-word form.) No false negatives by
+    construction; false positives are eliminated by the caller's exact
+    verify join.
 
     Mechanism vs scale: an in-plan literal is the TEST-SCALE stand-in.
     A production-sized filter (GBs of bits) ships as a broadcast
@@ -281,13 +312,28 @@ def bloom_probe(grams: DataFrame, bits: str) -> DataFrame:
     this might_contain prefilter on the shuffle-join's probe side) —
     the QUERY SHAPE (bits prefilter -> exact verify equi-join) is what
     this operator pins, and it is unchanged under either transport."""
+    assert len(bits) == BLOOM_BITS
+    words = [
+        sum(1 << k for k in range(64) if bits[j * 64 + k] == "1")
+        for j in range(BLOOM_BITS // 64)
+    ]
+    # two's-complement fold into BIGINT range; bit k survives the cast
+    warr = F.array(
+        *[F.lit(w - (1 << 64) if w >= 1 << 63 else w).cast("bigint")
+          for w in words]
+    ).alias("_bw")
     cond = None
     for j in range(BLOOM_K):
-        t = F.expr(f"substring(_bs, CAST(_b{j} AS INT) + 1, 1) = '1'")
+        # & 1, not % 2: shift 0 leaves a bit-63 word negative, and Spark's
+        # % keeps the dividend's sign (-3 % 2 = -1, never == 1). SQL text
+        # because pyspark's shiftrightunsigned only takes a literal shift.
+        t = F.expr(
+            f"(shiftrightunsigned(element_at(_bw,"
+            f" cast(_b{j} div 64 as int) + 1),"
+            f" cast(_b{j} % 64 as int)) & 1) = 1"
+        )
         cond = t if cond is None else (cond & t)
-    probed = _with_bloom_bits(grams).select(
-        "*", F.lit(bits).alias("_bs")
-    )
+    probed = _with_bloom_bits(grams).select("*", warr)
     return probed.filter(cond).select("doc_id", "h")
 
 
@@ -319,15 +365,7 @@ def contamination_bloom(
     The (doc_id, h) gram table feeds build, probe, and verify — eagerly
     checkpointed once (16 bytes/row; the multi-consumer reuse
     discipline)."""
-    from gpu_mapreduce_spark.functions.portable import hash60
-
-    t = tokens(F.col("text"))
-    grams = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(_ngrams(t, n), hash60))).alias(
-            "h"
-        ),
-    ).localCheckpoint(eager=True)
+    grams = hashed_grams(corpus, n).localCheckpoint(eager=True)
     bench = (
         grams.filter(
             ((F.col("doc_id") % bench_mod) == 0) & (F.col("doc_id") < 1_000_000)

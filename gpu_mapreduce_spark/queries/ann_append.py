@@ -73,6 +73,7 @@ def _ivf_existing_at_rest(spark: SparkSession, sf_dir: str):
 
 @register(
     "ann_index_append",
+    bench=True,
     tags=("llm", "similarity", "sources", "incremental"),
     oracle=f"""
         WITH ranked AS (

@@ -37,6 +37,7 @@ from gpu_mapreduce_spark.sources import fixtures
 
 @register(
     "contamination_bloom",
+    bench=True,
     tags=("llm", "textstats", "dedup", "sketch"),
     oracle=f"""
         {fixtures.duckdb_with('corpus')},

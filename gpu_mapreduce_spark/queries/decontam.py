@@ -89,14 +89,11 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string")))
         % 100
     )
-    grams = corpus.select(
-        "doc_id",
-        bkt.alias("bkt"),
-        F.explode(
-            F.array_distinct(
-                F.transform(ts._ngrams(ts.tokens(F.col("text")), _N), hash60)
-            )
-        ).alias("g"),
+    # shared flat gram front end (codegen md5, no HOF-interpreted hashing —
+    # see operators/textstats.hashed_grams shape rationale); bkt derives
+    # from doc_id so it rides on top of the deduped pair table
+    grams = ts.hashed_grams(corpus, _N).select(
+        "doc_id", bkt.alias("bkt"), F.col("h").alias("g")
     )
     train_g = grams.filter(F.col("bkt") < _TRAIN_LT).select("g")
     test_g = grams.filter(F.col("bkt") >= _TEST_GE).select("doc_id", "g")

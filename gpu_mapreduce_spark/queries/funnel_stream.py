@@ -38,6 +38,7 @@ from gpu_mapreduce_spark.streaming.pipeline import funnel_stages_batch
 
 @register(
     "funnel_user_stages",
+    bench=True,
     tags=("analytics", "events", "streaming"),
     oracle=f"""
         WITH s1 AS (
