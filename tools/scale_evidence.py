@@ -1,0 +1,242 @@
+"""10x scaling evidence: wall time, shuffle bytes, and spill at 1x vs 10x.
+
+Six rounds of sf0.1 evidence support the suite's *plan-shape* claims
+("no stage holds more than N/P rows", "candidates are banding-bounded");
+this harness anchors them with a measured 10x point per heavy query:
+
+  * TEXT tier (split_contamination, contamination_bloom,
+    dedup_incremental, dedup_lsh_at_rest): a 10x documents table built
+    by replicating sf0.1 with every token rewritten per replica
+    (`r<k>_` word prefix) and doc_ids shifted by k*100_000 — each
+    replica reproduces the original's dedup/near-dup structure without
+    creating CROSS-replica near-dups, so candidate volume scales
+    linearly with data (a bare text copy would shingle-match across
+    replicas and scale candidates quadratically, measuring a different
+    workload). Replica ids stay < the corpus fixture's 1e6 injected-dup
+    offset, so existing/delta splits scale 10x together.
+
+  * GRAPH tier (pagerank, sssp, luby_find): the edges fixture draws from
+    a FIXED 4000-vertex keyspace (fixtures.NUM_VERTICES) — 10x lineitem
+    would densify, not grow, that graph. The honest instrument is the
+    seeded R-MAT generator the kcore_rmat bench already uses, scaled 8x
+    in edges AND vertices at the SAME average degree:
+    rmat_edges(n_levels=16, nz=8) = 524,288 edges / 65,536 vertices vs
+    (n_levels=19, nz=8) = 4,194,304 edges / 524,288 vertices (raising nz
+    instead would densify a fixed vertex set).
+
+Per measurement: one untimed warm-up (absorbs memoized index/checkpoint
+builds, like bench.py), then two timed runs reporting the MIN, with
+per-stage shuffle read/write and spill DELTAS summed from the Spark UI
+REST API across the timed runs (metrics are per-run-pair, halved for
+per-run figures). Run on an idle machine; total ~6-10 min.
+
+    python tools/scale_evidence.py [text|graph|all]   # one JSON to stdout
+
+Results are transcribed into SCALE.md's "Measured 10x scaling" table.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF1X = "/root/testdata/sf0.1"
+SF10X = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".tmp",
+    "scale10x",
+)
+TEXT_QUERIES = [
+    "split_contamination",
+    "contamination_bloom",
+    "dedup_incremental",
+    "dedup_lsh_at_rest",
+]
+REPS = 10
+UI = "http://localhost:4040/api/v1"
+
+
+def get_spark_ui() -> SparkSession:
+    """bench/session configs with the UI enabled (REST metrics source)."""
+    from gpu_mapreduce_spark import session as s
+
+    cpus = s.DEFAULT_CPUS
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale_evidence")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+
+
+def build_10x_docs(spark: SparkSession) -> None:
+    if os.path.exists(os.path.join(SF10X, "documents.parquet")):
+        return
+    os.makedirs(SF10X, exist_ok=True)
+    d = spark.read.parquet(f"{SF1X}/documents.parquet")
+    parts = [d]  # replica 0 = the originals, untouched
+    for k in range(1, REPS):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + k * 100_000).alias("doc_id"),
+                # rewrite EVERY token: replicas share no shingles, so
+                # near-dup candidates scale linearly (see module docstring)
+                F.regexp_replace("text", r"(\S+)", f"r{k}_$1").alias("text"),
+                "lang",
+                "source",
+                (F.length(F.regexp_replace("text", r"(\S+)", f"r{k}_$1")))
+                .cast("int")
+                .alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    # tables.table reads the schema with pyarrow on a FILE path, so the 10x
+    # table must be a single parquet file like the driver-generated ones
+    # (~6 MB — the one-file write is fine at this size)
+    tmp = f"{SF10X}/_docs_build"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmp, part), f"{SF10X}/documents.parquet")
+    shutil.rmtree(tmp)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        dst = f"{SF10X}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{SF1X}/{t}.parquet", dst)
+
+
+def _stages() -> dict[tuple[int, int], dict]:
+    try:
+        apps = json.load(urllib.request.urlopen(f"{UI}/applications", timeout=5))
+        app = apps[0]["id"]
+        st = json.load(
+            urllib.request.urlopen(
+                f"{UI}/applications/{app}/stages?status=complete", timeout=10
+            )
+        )
+        return {(s["stageId"], s["attemptId"]): s for s in st}
+    except Exception as exc:  # noqa: BLE001 — metrics are best-effort
+        print(f"# REST metrics unavailable: {exc}", file=sys.stderr)
+        return {}
+
+
+def measure(spark: SparkSession, label: str, fn) -> dict:
+    fn()  # warm-up
+    gc.collect()
+    spark._jvm.System.gc()
+    before = _stages()
+    samples = []
+    rows = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rows = fn()
+        samples.append(round(time.perf_counter() - t0, 2))
+        gc.collect()
+        spark._jvm.System.gc()
+    after = _stages()
+    new = [after[k] for k in after.keys() - before.keys()]
+    m = {
+        "sec": min(samples),
+        "samples": samples,
+        "rows": rows,
+        # per-run figures: the two timed runs execute the same jobs
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in new) / 2 / (1 << 20), 1
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in new) / 2 / (1 << 20), 1
+        ),
+        "spill_disk_mb": round(
+            sum(s.get("diskBytesSpilled", 0) for s in new) / 2 / (1 << 20), 1
+        ),
+        "stages": len(new) // 2,
+    }
+    print(f"# {label}: {m}", file=sys.stderr)
+    return m
+
+
+def main() -> None:
+    spark = get_spark_ui()
+    spark.range(1000).count()
+    build_10x_docs(spark)
+    from gpu_mapreduce_spark.operators import graph_iter, rmat
+    from gpu_mapreduce_spark.registry import load_all
+
+    tier = sys.argv[1] if len(sys.argv) > 1 else "all"
+    qs = load_all()
+    out: dict = {"data_ratio": REPS, "text": {}, "graph": {}}
+    for name in TEXT_QUERIES if tier in ("all", "text") else []:
+        fn = qs[name].fn
+        out["text"][name] = {
+            "1x": measure(spark, f"{name}@1x", lambda: len(fn(spark, SF1X).collect())),
+            "10x": measure(
+                spark, f"{name}@10x", lambda: len(fn(spark, SF10X).collect())
+            ),
+        }
+
+    def graph_suite(n_levels: int) -> dict:
+        # nz·2^n_levels edges over 2^n_levels vertices: holding nz fixed and
+        # raising n_levels by 3 scales edges AND vertices 8x at the SAME
+        # average degree — the honest sparse-graph scale-up (raising nz
+        # instead would densify a fixed vertex set)
+        edges, _ = rmat.rmat_edges(spark, n_levels, 8)
+        wedges = edges.select(
+            "src", "dst",
+            ((F.col("src") * 31 + F.col("dst")) % 97 + 1)
+            .cast("bigint").alias("wu"),
+        ).localCheckpoint(eager=True)
+        res = {
+            "edges": edges.count(),
+            "pagerank": measure(
+                spark, f"pagerank@L{n_levels}",
+                lambda: graph_iter.pagerank(edges, num_iter=10).count(),
+            ),
+            "sssp": measure(
+                spark, f"sssp@L{n_levels}",
+                lambda: graph_iter.sssp(wedges, source=0)[0].count(),
+            ),
+            "luby_find": measure(
+                spark, f"luby@L{n_levels}",
+                lambda: graph_iter.luby_find(edges, seed=42)[0].count(),
+            ),
+        }
+        edges.unpersist()
+        return res
+
+    if tier in ("all", "graph"):
+        out["graph"]["data_ratio"] = 8
+        out["graph"]["1x"] = graph_suite(16)   # 524,288 edges / 65,536 vertices
+        out["graph"]["8x"] = graph_suite(19)   # 4,194,304 edges / 524,288 vertices
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
