@@ -203,7 +203,11 @@ def main() -> None:
     # telemetry, load averages) goes to a sidecar JSON file next to this
     # script plus a labelled stderr line; the stdout line carries only the
     # driver-parsed fields.
+    # run_id ties the compact line to ITS OWN sidecar: bench_compare must
+    # never adjudicate an artifact against samples some other run wrote.
+    run_id = f"{time.time_ns():x}"[-12:]
     sidecar: dict = {
+        "run_id": run_id,
         "samples": all_samples,
         "telemetry": telemetry,
         "load_avg_start": load_start,
@@ -230,6 +234,7 @@ def main() -> None:
         "queries_ok": len(times),
         "queries_total": len(queries),
         "sf": _sf_of(sf_dir),
+        "run_id": run_id,
     }
     if errors:
         # Names only on the compact line (full messages in the sidecar):

@@ -266,15 +266,20 @@ def decode_real(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows: list[list] = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                data = bytes(content)
                 try:
+                    # struct.error: a truncated header/chunk fails the
+                    # unpack before any of the parsers' own validation
+                    # can turn it into a ValueError; TypeError: a NULL
+                    # payload (bytes(None)). All three are one-row
+                    # quarantine cases, never task failures.
+                    data = bytes(content)
                     if data[:2] == b"BM":
                         d = decode_bmp_bytes(data)
                     elif data[:4] == b"RIFF":
                         d = decode_wav_bytes(data)
                     else:
                         raise ValueError("unknown magic")
-                except ValueError:
+                except (ValueError, struct.error, TypeError):
                     d = {
                         "fmt": "unknown", "width": None, "height": None,
                         "channels": None, "sample_rate": None,

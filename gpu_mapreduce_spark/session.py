@@ -31,6 +31,7 @@ def get_spark(
     app_name: str = "gpu_mapreduce_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    ui: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the session.
 
@@ -50,7 +51,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", str(ui).lower())
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # defensive: if a dataset ships TIMESTAMP(NANOS) parquet (which the
         # vectorized reader otherwise rejects) surface it as BIGINT nanos;

@@ -41,13 +41,23 @@ def main() -> None:
         errors = {n: "errored (see BENCH_TELEMETRY.json)" for n in errors}
     # Samples/telemetry moved to the sidecar in r07 (the stdout line must
     # stay under the driver's ~2000-char tail capture — BENCH_r06.json lost
-    # all timings to an inlined samples map). Prefer inline (old artifacts),
-    # fall back to the sidecar of the most recent local run.
+    # all timings to an inlined samples map). Prefer inline (old artifacts);
+    # use the sidecar ONLY when its run_id matches the payload's — gating
+    # an artifact on samples some OTHER local run wrote would let foreign
+    # regime noise pass/fail the run actually under judgment.
     samples = payload.get("samples") or {}
     if not samples:
         sidecar = _BASELINE_PATH.parent / "BENCH_TELEMETRY.json"
         try:
-            samples = json.loads(sidecar.read_text()).get("samples", {})
+            sc = json.loads(sidecar.read_text())
+            if sc.get("run_id") and sc.get("run_id") == payload.get("run_id"):
+                samples = sc.get("samples", {})
+            else:
+                print(
+                    "# sidecar run_id mismatch — min-only compare, no "
+                    "sample/median adjudication",
+                    file=sys.stderr,
+                )
         except (OSError, ValueError):
             samples = {}
     if not queries and not errors:

@@ -63,32 +63,16 @@ TEXT_QUERIES = [
     "dedup_lsh_at_rest",
 ]
 REPS = 10
-UI = "http://localhost:4040/api/v1"
+UI = None  # set from spark.sparkContext.uiWebUrl — a hardcoded :4040 would
+#   silently read a LEFTOVER Spark app's stages when that port is taken
 
 
 def get_spark_ui() -> SparkSession:
-    """bench/session configs with the UI enabled (REST metrics source)."""
-    from gpu_mapreduce_spark import session as s
+    """The ONE session factory, UI enabled (REST metrics source) — a
+    config copy here would drift from session.py's."""
+    from gpu_mapreduce_spark.session import get_spark
 
-    cpus = s.DEFAULT_CPUS
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("scale_evidence")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-        )
-        .config("spark.ui.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .getOrCreate()
-    )
+    return get_spark("scale_evidence", ui=True)
 
 
 def build_10x_docs(spark: SparkSession) -> None:
@@ -106,10 +90,7 @@ def build_10x_docs(spark: SparkSession) -> None:
                 F.regexp_replace("text", r"(\S+)", f"r{k}_$1").alias("text"),
                 "lang",
                 "source",
-                (F.length(F.regexp_replace("text", r"(\S+)", f"r{k}_$1")))
-                .cast("int")
-                .alias("n_chars"),
-            )
+            ).withColumn("n_chars", F.length("text").cast("int"))
         )
     out = parts[0]
     for p in parts[1:]:
@@ -184,7 +165,9 @@ def measure(spark: SparkSession, label: str, fn) -> dict:
 
 
 def main() -> None:
+    global UI
     spark = get_spark_ui()
+    UI = f"{spark.sparkContext.uiWebUrl}/api/v1"
     spark.range(1000).count()
     build_10x_docs(spark)
     from gpu_mapreduce_spark.operators import graph_iter, rmat

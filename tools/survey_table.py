@@ -28,8 +28,15 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def first_green_rounds() -> dict[str, int]:
     green: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r0*.json"))):
-        rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+    def _round(p: str) -> int:
+        return int(re.search(r"r0*(\d+)", os.path.basename(p)).group(1))
+
+    # numeric sort: lexical order would visit r10 before r2 and misattribute
+    # "first green" once double-digit rounds exist
+    for path in sorted(
+        glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")), key=_round
+    ):
+        rnd = _round(path)
         d = json.load(open(path))
         results = d.get("results", d)  # r06+ nests; earlier rounds are flat
         for name, r in results.items():
