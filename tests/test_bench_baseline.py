@@ -27,3 +27,28 @@ def test_every_bench_query_has_a_baseline_and_vice_versa():
     assert all(
         isinstance(v, (int, float)) and v > 0 for v in base.values()
     ), "baselines must be positive seconds"
+
+
+def test_bench_stdout_line_fits_driver_tail_capture():
+    """The round driver parses only the TAIL (~2000 chars) of bench.py's
+    stdout; BENCH_r06.json lost every per-query timing when inlined
+    samples pushed the JSON line past that window. Guard the budget with
+    the real bench-query names at worst-case field widths so a payload
+    regression fails HERE, not in the next round's artifact."""
+    bench = sorted(n for n, q in load_all().items() if q.bench)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 9999.999,
+        "queries": {n: 9999.999 for n in bench},
+        "unit": "sec",
+        "queries_ok": len(bench),
+        "queries_total": len(bench),
+        "sf": 0.001,
+        "run_id": "f" * 12,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1800, (
+        f"bench stdout line would be {len(line)} chars at {len(bench)} "
+        "queries — within 200 of the driver's ~2000-char tail capture; "
+        "shrink the payload or move fields to BENCH_TELEMETRY.json"
+    )
