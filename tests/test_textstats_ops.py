@@ -116,3 +116,50 @@ def test_contamination_bloom_prunes_and_matches(spark):
         true_hits,
         total,
     )
+
+
+def test_bloom_probe_matches_python_model(spark):
+    """Pin the packed-word probe's bit arithmetic (two's-complement fold of
+    word 255, shift-0 reads of a negative word, div/mod indexing) against a
+    pure-Python model over adversarial keys: bit 0, bit 63 of a word, bit
+    16383 (the last bit of the last word), all-bits keys, and a spread of
+    md5-like values."""
+    from pyspark.sql import functions as F
+
+    # bits chosen to exercise word boundaries; key j's probe bits are the
+    # four 14-bit slices of the key itself (operators/textstats.BLOOM_K=4)
+    keys = [
+        0,                      # all four slices -> bit 0 (word 0, shift 0)
+        63,                     # bit 63: top bit of word 0 (negative word)
+        16383,                  # last bit of word 255 via slice 0
+        16383 << 14,            # last bit via slice 1
+        (1 << 60) - 1,          # every slice = 16383
+        0x0123456789ABCDE,      # spread
+        0xFEDCBA987654321 % (1 << 60),
+        (16384 + 1) * ((1 << 60) // 16385),
+    ]
+    import random
+
+    rng = random.Random(7)
+    keys += [rng.getrandbits(60) for _ in range(40)]
+    # a bit string with structure at the boundaries the fold can get wrong
+    bits = ["0"] * ts.BLOOM_BITS
+    bits[0] = bits[63] = bits[16383] = bits[8191] = bits[8192] = "1"
+    for i in rng.sample(range(ts.BLOOM_BITS), 4000):
+        bits[i] = "1"
+    bstr = "".join(bits)
+
+    def model_keep(h: int) -> bool:
+        return all(
+            bstr[(h >> (14 * j)) % ts.BLOOM_BITS] == "1"
+            for j in range(ts.BLOOM_K)
+        )
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "doc_id bigint, h bigint"
+    )
+    got = {r.h for r in ts.bloom_probe(df, bstr).collect()}
+    want = {k for k in keys if model_keep(k)}
+    assert got == want
+    assert want, "model must keep at least one adversarial key"
+    assert len(want) < len(set(keys)), "model must also reject some"
