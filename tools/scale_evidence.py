@@ -5,9 +5,10 @@ Six rounds of sf0.1 evidence support the suite's *plan-shape* claims
 this harness anchors them with a measured 10x point per heavy query:
 
   * TEXT tier (split_contamination, contamination_bloom,
-    dedup_incremental, dedup_lsh_at_rest): a 10x documents table built
+    dedup_incremental, dedup_lsh_at_rest; override with
+    $SPARK_GRAFT_SCALE_QUERIES): a REPS-x documents table built
     by replicating sf0.1 with every token rewritten per replica
-    (`r<k>_` word prefix) and doc_ids shifted by k*100_000 — each
+    (`r<k>_` word prefix) and doc_ids shifted by k*10_000 — each
     replica reproduces the original's dedup/near-dup structure without
     creating CROSS-replica near-dups, so candidate volume scales
     linearly with data (a bare text copy would shingle-match across
@@ -23,6 +24,10 @@ this harness anchors them with a measured 10x point per heavy query:
     rmat_edges(n_levels=16, nz=8) = 524,288 edges / 65,536 vertices vs
     (n_levels=19, nz=8) = 4,194,304 edges / 524,288 vertices (raising nz
     instead would densify a fixed vertex set).
+
+$SPARK_GRAFT_SCALE_REPS (default 10) sets the replication factor — REPS=100
+gives the second decade of the text-tier series (the graph tier is
+REPS-independent).
 
 Per measurement: one untimed warm-up (absorbs memoized index/checkpoint
 builds, like bench.py), then two timed runs reporting the MIN, with
@@ -51,18 +56,21 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 SF1X = "/root/testdata/sf0.1"
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "10"))
 SF10X = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".tmp",
-    "scale10x",
+    f"scale{REPS}x",
 )
 TEXT_QUERIES = [
-    "split_contamination",
-    "contamination_bloom",
-    "dedup_incremental",
-    "dedup_lsh_at_rest",
+    q
+    for q in os.environ.get(
+        "SPARK_GRAFT_SCALE_QUERIES",
+        "split_contamination,contamination_bloom,dedup_incremental,"
+        "dedup_lsh_at_rest",
+    ).split(",")
+    if q
 ]
-REPS = 10
 UI = None  # set from spark.sparkContext.uiWebUrl — a hardcoded :4040 would
 #   silently read a LEFTOVER Spark app's stages when that port is taken
 
@@ -84,7 +92,10 @@ def build_10x_docs(spark: SparkSession) -> None:
     for k in range(1, REPS):
         parts.append(
             d.select(
-                (F.col("doc_id") + k * 100_000).alias("doc_id"),
+                # k*10_000: the max base id is 4999, so replicas never
+                # collide with each other, and 99 replicas stay below the
+                # corpus fixture's 1e6/2e6 injected-dup offsets
+                (F.col("doc_id") + k * 10_000).alias("doc_id"),
                 # rewrite EVERY token: replicas share no shingles, so
                 # near-dup candidates scale linearly (see module docstring)
                 F.regexp_replace("text", r"(\S+)", f"r{k}_$1").alias("text"),
@@ -180,8 +191,8 @@ def main() -> None:
         fn = qs[name].fn
         out["text"][name] = {
             "1x": measure(spark, f"{name}@1x", lambda: len(fn(spark, SF1X).collect())),
-            "10x": measure(
-                spark, f"{name}@10x", lambda: len(fn(spark, SF10X).collect())
+            f"{REPS}x": measure(
+                spark, f"{name}@{REPS}x", lambda: len(fn(spark, SF10X).collect())
             ),
         }
 
