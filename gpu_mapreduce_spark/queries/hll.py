@@ -64,6 +64,7 @@ def hll_registers(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 @register(
     "hll_registers",
+    bench=True,
     tags=("llm", "textstats", "sketch"),
     oracle=f"""
         WITH toksrc AS (

@@ -76,6 +76,7 @@ def _packed_base(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "packed_shards_append",
+    bench=True,
     tags=("llm", "packing", "sources", "incremental"),
     oracle=f"""
         {fixtures.duckdb_with('corpus')},
