@@ -214,6 +214,11 @@ def decode_wav_bytes(data: bytes) -> dict:
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            # a declared size past the available bytes (slice clamped) or an
+            # odd PCM byte count is a truncated/corrupt stream: quarantine
+            # like a truncated BMP, never silently decode a partial stream
+            if len(body) < size or size % 2:
+                raise ValueError("truncated or odd-length WAV data chunk")
             pcm = body
         pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
     if fmt is None or pcm is None:
@@ -222,7 +227,7 @@ def decode_wav_bytes(data: bytes) -> dict:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (format={audio_format} bits={bits})")
     n = len(pcm) // 2
-    samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+    samples = struct.unpack(f"<{n}h", pcm)
     return {
         "fmt": "wav",
         "width": None,
@@ -231,8 +236,91 @@ def decode_wav_bytes(data: bytes) -> dict:
         "sample_rate": sample_rate,
         "n_values": n,
         "value_sum": sum(samples),
-        "decoded_md5": hashlib.md5(pcm[: 2 * n]).hexdigest(),
+        "decoded_md5": hashlib.md5(pcm).hexdigest(),
     }
+
+
+def _synth_byte(media_id: int, i: int) -> int:
+    """Byte i of media_id's canonical decoded stream — the shared generation
+    formula the DuckDB oracle replays as `1 + (media_id*31 + i*7) % 127`.
+    Values stay in 1..127 (printable-ish ASCII range) so the oracle can
+    rebuild the exact byte stream as a VARCHAR via chr() and md5 it: for
+    code points 1..127 UTF-8 is one byte, so md5(string) == md5(bytes)."""
+    return 1 + (media_id * 31 + i * 7) % 127
+
+
+def synth_bmp_bytes(media_id: int) -> bytes:
+    """Deterministic DECODABLE 24-bpp BI_RGB BMP for the media fixture:
+    w = 4 + id%5, h = 3 + id%4, canonical top-down RGB byte i = _synth_byte.
+    Encoded bottom-up/BGR/4-byte-padded — exercising exactly the flip/swap/
+    pad logic decode_bmp_bytes must undo to reproduce the canonical
+    stream."""
+    w, h = 4 + media_id % 5, 3 + media_id % 4
+    canon = bytes(_synth_byte(media_id, i) for i in range(w * h * 3))
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    pix = bytearray()
+    for r in range(h - 1, -1, -1):  # store bottom-up
+        row = canon[r * w * 3 : (r + 1) * w * 3]
+        for x in range(0, w * 3, 3):  # RGB -> stored BGR
+            pix += bytes((row[x + 2], row[x + 1], row[x]))
+        pix += b"\x00" * (row_bytes - w * 3)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(pix)
+
+
+def synth_wav_bytes(media_id: int) -> bytes:
+    """Deterministic DECODABLE PCM16 WAV: n = 8 + id%9 total samples,
+    channels = 1 + id%2, rate = 8000 + (id%4)*4000; PCM byte i =
+    _synth_byte (both bytes of every sample in 1..127, so samples are
+    positive and the oracle's lo + 256*hi reconstruction is exact)."""
+    n = 8 + media_id % 9
+    channels = 1 + media_id % 2
+    rate = 8000 + (media_id % 4) * 4000
+    pcm = bytes(_synth_byte(media_id, i) for i in range(2 * n))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def media_table_decodable(docs: DataFrame) -> DataFrame:
+    """Mixed media table with REAL decodable payloads, keyed off doc_id:
+    id % 3 == 0 -> synth BMP, == 1 -> synth WAV, == 2 -> the doc's utf8
+    text bytes (a non-media payload decode_real must quarantine). The
+    payload builder is Arrow-batched mapInPandas — fixture-side synthesis
+    standing in for the storage read that supplies real payloads at
+    100 TB; the decode plumbing downstream is identical either way."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "content": []}
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                mid = int(mid)
+                if mid % 3 == 0:
+                    payload = synth_bmp_bytes(mid)
+                elif mid % 3 == 1:
+                    payload = synth_wav_bytes(mid)
+                else:
+                    payload = str(text).encode("utf-8")
+                out["media_id"].append(mid)
+                out["content"].append(payload)
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col("doc_id").alias("media_id"), "text").mapInPandas(
+        build, schema="media_id bigint, content binary"
+    )
 
 
 _DECODE_REAL_SCHEMA = (

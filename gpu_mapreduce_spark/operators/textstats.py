@@ -312,7 +312,11 @@ def bloom_probe(grams: DataFrame, bits: str) -> DataFrame:
     this might_contain prefilter on the shuffle-join's probe side) —
     the QUERY SHAPE (bits prefilter -> exact verify equi-join) is what
     this operator pins, and it is unchanged under either transport."""
-    assert len(bits) == BLOOM_BITS
+    # explicit check, not assert: stripped under python -O, a wrong-length
+    # string would build a truncated word array and element_at would return
+    # NULL out of range — silently filtering every row
+    if len(bits) != BLOOM_BITS:
+        raise ValueError(f"bloom bits length {len(bits)} != {BLOOM_BITS}")
     words = [
         sum(1 << k for k in range(64) if bits[j * 64 + k] == "1")
         for j in range(BLOOM_BITS // 64)

@@ -121,8 +121,9 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle replays the byte loop with ascii() per char:
     mean_byte is an exact integer sum over one division (bit-identical
     doubles), hist16 a 16-bucket high-nibble histogram emitted as a
-    canonical comma string for hash-stable output. Real codec decode stays
-    stubbed (operators/multimodal.decode_real)."""
+    canonical comma string for hash-stable output. Real codec decode is
+    media_decode_real (queries/media_decode.py): pure-stdlib BMP/WAV
+    decoders over generated decodable payloads, driver-checked."""
     out = mm.decode_fake(_media(spark, sf_dir))
     return out.select(
         "media_id",

@@ -115,6 +115,8 @@ def load_all() -> dict[str, QueryDef]:
             bloom_decontam,
             sampling_pps,
             order_stats,
+            # r08 tail (new modules at the END — the r06/r05 discipline)
+            media_decode,
         )
 
         _loaded = True

@@ -78,6 +78,38 @@ def test_decode_real_pure_parsers_reject_malformed():
         bad = bytearray(_wav_pcm16(1, 8000, [1, 2, 3]))
         bad[34] = 8  # bits_per_sample field
         mm.decode_wav_bytes(bytes(bad))
+    with pytest.raises(ValueError):  # truncated data chunk (declared size
+        # exceeds available bytes) must quarantine, not decode a partial stream
+        mm.decode_wav_bytes(_wav_pcm16(1, 8000, [1, 2, 3])[:-2])
+    with pytest.raises(ValueError):  # odd-length PCM byte count
+        odd = bytearray(_wav_pcm16(1, 8000, [1, 2]))
+        odd[-8:-4] = struct.pack("<I", 3)  # data chunk declares 3 bytes
+        mm.decode_wav_bytes(bytes(odd[:-1]))
+
+
+def test_synth_payloads_round_trip_to_formula():
+    """The generated decodable fixtures must decode back to the closed-form
+    stats the media_decode_real oracle replays — checked here byte-by-byte
+    against the generation formula, independently of the SQL."""
+    for mid in [0, 3, 6, 123, 4998]:  # % 3 == 0 -> bmp
+        w, h = 4 + mid % 5, 3 + mid % 4
+        canon = bytes(1 + (mid * 31 + i * 7) % 127 for i in range(w * h * 3))
+        d = mm.decode_bmp_bytes(mm.synth_bmp_bytes(mid))
+        assert (d["fmt"], d["width"], d["height"], d["channels"]) == ("bmp", w, h, 3)
+        assert d["n_values"] == w * h * 3 and d["value_sum"] == sum(canon)
+        assert d["decoded_md5"] == hashlib.md5(canon).hexdigest()
+    for mid in [1, 4, 7, 124, 4999]:  # % 3 == 1 -> wav
+        n = 8 + mid % 9
+        pcm = bytes(1 + (mid * 31 + i * 7) % 127 for i in range(2 * n))
+        d = mm.decode_wav_bytes(mm.synth_wav_bytes(mid))
+        assert (d["fmt"], d["channels"], d["sample_rate"]) == (
+            "wav", 1 + mid % 2, 8000 + (mid % 4) * 4000
+        )
+        assert d["n_values"] == n
+        assert d["value_sum"] == sum(
+            pcm[2 * k] + 256 * pcm[2 * k + 1] for k in range(n)
+        )
+        assert d["decoded_md5"] == hashlib.md5(pcm).hexdigest()
 
 
 def test_decode_fake_matches_python(spark, ddb):

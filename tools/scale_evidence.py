@@ -84,9 +84,13 @@ def get_spark_ui() -> SparkSession:
 
 
 def build_10x_docs(spark: SparkSession) -> None:
+    # documents.parquet is written LAST (os.replace after the table copies),
+    # so its existence is the completion marker: a crash mid-build leaves a
+    # dir without it and the next run repairs every missing piece
+    os.makedirs(SF10X, exist_ok=True)
+    _copy_side_tables()
     if os.path.exists(os.path.join(SF10X, "documents.parquet")):
         return
-    os.makedirs(SF10X, exist_ok=True)
     d = spark.read.parquet(f"{SF1X}/documents.parquet")
     parts = [d]  # replica 0 = the originals, untouched
     for k in range(1, REPS):
@@ -114,8 +118,13 @@ def build_10x_docs(spark: SparkSession) -> None:
     part = next(
         f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
     )
+    # the completion-marker write: documents.parquet lands only after every
+    # side table copied above
     os.replace(os.path.join(tmp, part), f"{SF10X}/documents.parquet")
     shutil.rmtree(tmp)
+
+
+def _copy_side_tables() -> None:
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "embeddings",
