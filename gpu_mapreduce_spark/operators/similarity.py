@@ -319,6 +319,86 @@ def ivf_topk(
     return ivf_rerank(assigned, probes, k)
 
 
+CROSS_SCALE = 10_000  # fixed-point quantization for the exact cross-score
+CROSS_MAG_FLOOR = 1_000  # |quantized value| >= floor counts as a "hot" dim
+CROSS_OVERLAP_W = 1_000_000  # integer weight of the overlap feature
+
+
+def _quant_u(v: Column) -> Column:
+    """Per-element fixed-point quantization FLOOR(x * CROSS_SCALE) as
+    BIGINT — exact and engine-portable (float -> double is exact, FLOOR of
+    identical doubles identical)."""
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * CROSS_SCALE).cast("bigint")
+    )
+
+
+def crossscore_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Cross-encoder-style second-stage rerank of a BOUNDED candidate set.
+
+    `candidates` is (qid, vec_id) — |Q| x m rows from a first-stage
+    retriever (IVF/LSH), never all-pairs. Both embedding sides are fetched
+    by key: the candidate table broadcasts into an equi-join against the
+    corpus (at cluster scale: against the cid-partitioned at-rest index),
+    the query vectors broadcast by qid. Each pair is re-scored with a
+    deliberately RICHER exact function than the retrieval metric —
+    fixed-point integer dot product plus an exact overlap feature (count
+    of dimensions where both vectors are >= CROSS_MAG_FLOOR in quantized
+    magnitude) — standing in for the cross-encoder forward pass this
+    container cannot run; a real model swaps into the same scoring
+    projection as an Arrow-batched pandas UDF without changing the plan
+    (candidate fetch -> per-pair score -> bounded per-query top-k).
+
+    rerank_score = dot_u + CROSS_OVERLAP_W * n_overlap, all exact integer
+    arithmetic, so a SQL oracle replays it verbatim; ties break by vec_id.
+    """
+    # bcast-audit: bounded (candidate list ∝ query set)
+    fetched = embeddings.join(F.broadcast(candidates), "vec_id")
+    # bcast-audit: bounded (query set)
+    pairs = fetched.join(F.broadcast(queries), "qid")
+    eu = _quant_u(F.col("embedding"))
+    qu = _quant_u(F.col("qe"))
+    dot_u = F.aggregate(
+        F.zip_with(eu, qu, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n_overlap = F.size(
+        F.filter(
+            F.zip_with(
+                eu,
+                qu,
+                lambda x, y: (F.abs(x) >= CROSS_MAG_FLOOR)
+                & (F.abs(y) >= CROSS_MAG_FLOOR),
+            ),
+            lambda b: b,
+        )
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        dot_u.alias("dot_u"),
+        n_overlap.cast("int").alias("n_overlap"),
+    ).select(
+        "*",
+        (
+            F.col("dot_u")
+            + F.lit(CROSS_OVERLAP_W).cast("bigint") * F.col("n_overlap")
+        ).alias("rerank_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rerank_score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 DUP_PAIRS_MAX_ROWS = 100_000  # hard cap on the quadratic baseline
 
 

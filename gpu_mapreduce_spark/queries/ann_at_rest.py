@@ -42,12 +42,15 @@ from gpu_mapreduce_spark.registry import register
 
 
 def _probe_pruned(
-    spark: SparkSession, sf_dir: str, centroids: DataFrame, path: str
+    spark: SparkSession, sf_dir: str, centroids: DataFrame, path: str,
+    k: int = TOP_K,
 ) -> DataFrame:
     """Probe the at-rest index at `path`: nearest-nprobe cells per query,
-    directory-pruned read, exact rerank. `probes` is eagerly checkpointed
-    once — it is consumed twice (collected for the prune list, joined in
-    the rerank) and would otherwise recompute the centroid scoring."""
+    directory-pruned read, exact rerank (top-`k` per query — callers like
+    ann_rerank_crossscore widen k to harvest a candidate set). `probes` is
+    eagerly checkpointed once — it is consumed twice (collected for the
+    prune list, joined in the rerank) and would otherwise recompute the
+    centroid scoring."""
     probes = similarity.ivf_probes(
         _queries(spark, sf_dir), centroids, nprobe=_IVF_NPROBE
     ).localCheckpoint(eager=True)
@@ -56,7 +59,7 @@ def _probe_pruned(
     probe_cids = sorted({r.cid for r in probes.select("cid").collect()})
     back = spark.read.schema(_AT_REST_SCHEMA).parquet(path)
     cells = back.filter(F.col("cid").isin(probe_cids))
-    return similarity.ivf_rerank(cells, probes, k=TOP_K).orderBy(
+    return similarity.ivf_rerank(cells, probes, k=k).orderBy(
         "qid", F.desc("sim_e6"), "vec_id"
     )
 

@@ -117,6 +117,7 @@ def load_all() -> dict[str, QueryDef]:
             order_stats,
             # r08 tail (new modules at the END — the r06/r05 discipline)
             media_decode,
+            ann_rerank,
         )
 
         _loaded = True

@@ -123,3 +123,54 @@ def test_dup_pairs_guard_refuses_large_corpus(spark):
     assert similarity.dup_pairs(small, max_rows=None).count() >= 0
     # default cap admits the fixture corpora
     assert similarity.DUP_PAIRS_MAX_ROWS >= emb.count()
+
+
+def test_crossscore_rerank_exact_and_bounded(spark):
+    """The cross-score reranker must (a) select only from its candidate
+    set, (b) produce the exact integer score a Python recomputation gives
+    (fixed-point dot + hot-dim overlap), and (c) keep exactly top-k per
+    query by (rerank_score DESC, vec_id)."""
+    import math
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = _queries(spark)
+    # a small deterministic candidate set: 20 lowest corpus ids per query
+    cand = q.select("qid").crossJoin(
+        emb.filter(F.col("vec_id") < 20).select("vec_id")
+    ).filter(F.col("vec_id") != F.col("qid"))
+    got = similarity.crossscore_rerank(cand, emb, q, k=5).collect()
+    vecs = {r.vec_id: list(r.embedding) for r in emb.filter(
+        F.col("vec_id") < 20).collect()}
+    qs = {r.qid: list(r.qe) for r in q.collect()}
+
+    def quant(v):
+        return [math.floor(float(x) * similarity.CROSS_SCALE) for x in v]
+
+    expected = {}
+    for qid, qe in qs.items():
+        scored = []
+        for vid, e in vecs.items():
+            if vid == qid:
+                continue
+            eu, qu = quant(e), quant(qe)
+            dot = sum(a * b for a, b in zip(eu, qu))
+            ov = sum(
+                1
+                for a, b in zip(eu, qu)
+                if abs(a) >= similarity.CROSS_MAG_FLOOR
+                and abs(b) >= similarity.CROSS_MAG_FLOOR
+            )
+            scored.append(
+                (dot + similarity.CROSS_OVERLAP_W * ov, dot, ov, vid)
+            )
+        scored.sort(key=lambda t: (-t[0], t[3]))
+        expected[qid] = scored[:5]
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(qs)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: (-r.rerank_score, r.vec_id))
+        assert [
+            (r.rerank_score, r.dot_u, r.n_overlap, r.vec_id) for r in rows
+        ] == expected[qid]
