@@ -1,0 +1,143 @@
+"""Byte-pair-encoding merge loop — tokenizer preparation (builder brief
+"beyond-reference" §text-analysis / LLM-pipeline; SCALE.md r08 design 1).
+The reference has no tokenizer training; its closest shape is the
+iterative driver loop of oink/cc_find.cpp (fixed rounds of
+aggregate-then-rebroadcast), which this operator follows.
+
+Semantics (classic BPE over a word-frequency table):
+  - Words are lowercase [a-z0-9]+ runs; the corpus folds ONCE to
+    (word, weight) with weight = total occurrences — rounds then cost
+    O(vocab), not O(corpus), the standard BPE-training layout.
+  - A word's symbol state is ONE STRING: ' ' + symbol per symbol
+    (' a b c' for "abc"). Symbols never contain the space separator
+    (alphabet is [a-z0-9]), so the state is unambiguous and the merge
+    fold is replayable in DuckDB's list_reduce with the same
+    ends-with/append steps.
+  - Per round: (1) adjacent-pair counts (explode pairs -> one
+    map-side-combinable weighted count; overlapping occurrences count,
+    the classic formulation), (2) argmax pair with a total tie-break
+    (cnt DESC, a ASC, b ASC) — collected driver-side as ONE row (the
+    pagerank scalar discipline), (3) rewrite every word's state with the
+    winning merge applied greedily left-to-right non-overlapping: fold
+    symbols left to right, merging when the accumulated state ends with
+    ' '+a and the next prefixed symbol equals ' '+b (once merged, the
+    tail symbol is a||b, so an overlapping second merge cannot fire —
+    'aaa' under (a,a) becomes [aa, a]).
+
+100 TB posture: the corpus scan happens once (fold to the word table);
+each round is one bounded vocab-sized aggregate + a one-row driver
+collect + a vocab-sized projection (localCheckpoint per round, the
+cc_find/pagerank lineage discipline). Real tokenizers train on a PPS
+sample — compose pps_weighted_sample upstream; the per-doc token counts
+downstream are one broadcast join (vocab is small by construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+K_MERGES = 8
+
+# symbol-state helpers: state column 's' = concat of (' ' + symbol)
+_SY = "slice(split(s, ' '), 2, size(split(s, ' ')) - 1)"  # symbols array
+
+
+def word_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(docw, words): per-doc word counts (doc_id, word, n) and the initial
+    weighted symbol table (word, wt, s) with s = one char per symbol.
+    docw is eagerly checkpointed — it feeds both the word fold and the
+    final per-doc token-count join."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("word"),
+    )
+    docw = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    words = docw.groupBy("word").agg(F.sum("n").cast("bigint").alias("wt")).select(
+        "word", "wt", F.regexp_replace("word", "(.)", " $1").alias("s")
+    )
+    return docw, words
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts over the current states:
+    (a, b, cnt). One explode + one map-side-combinable aggregate."""
+    return (
+        words.select(
+            "wt",
+            F.expr(
+                f"zip_with(slice({_SY}, 1, size({_SY}) - 1),"
+                f" slice({_SY}, 2, size({_SY}) - 1),"
+                " (x, y) -> struct(x AS a, y AS b))"
+            ).alias("prs"),
+        )
+        .select("wt", F.explode("prs").alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.sum("wt").cast("bigint").alias("cnt"))
+    )
+
+
+def best_pair(pairs: DataFrame) -> tuple[str, str, int]:
+    """The round's winning merge: max count, ties to the lexicographically
+    smallest (a, b) — one global struct-MIN aggregate, one collected row."""
+    row = pairs.agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("m")
+    ).collect()[0].m
+    return row.a, row.b, -row.nc
+
+
+def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite every state with pair (a, b) merged greedily left-to-right
+    (non-overlapping): fold prefixed symbols, appending bare `b` when the
+    accumulator ends with ' '+a and the element is ' '+b (which turns the
+    state's tail symbol a into a||b), else appending the element."""
+    fold = F.aggregate(
+        F.expr(f"transform({_SY}, t -> ' ' || t)"),
+        F.lit(""),
+        lambda acc, x: F.when(
+            acc.endswith(" " + a) & (x == F.lit(" " + b)),
+            F.concat(acc, F.lit(b)),
+        ).otherwise(F.concat(acc, x)),
+    )
+    return words.select("word", "wt", fold.alias("s"))
+
+
+def bpe_train(
+    spark: SparkSession, docs: DataFrame, k: int = K_MERGES
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
+    """Run k merge rounds; returns (merges, final words, docw) where
+    merges = [(step, a, b, cnt_at_selection)]. Per-round lineage is cut
+    with an eager localCheckpoint (vocab-sized state; the cc_find
+    discipline)."""
+    docw, words = word_tables(docs)
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        a, b, cnt = best_pair(pair_counts(words))
+        merges.append((step, a, b, cnt))
+        words = apply_merge(words, a, b).localCheckpoint(eager=True)
+    return merges, words, docw
+
+
+def doc_token_counts(docw: DataFrame, words: DataFrame) -> DataFrame:
+    """Per-doc token counts under the trained merges: symbols per word =
+    number of ' ' separators in its state; one broadcast join (the vocab
+    is bounded) + one doc-keyed sum. (doc_id, cnt)."""
+    final_len = words.select(
+        "word",
+        (F.length("s") - F.length(F.translate("s", " ", "")))
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    # bcast-audit: bounded (vocab table)
+    return (
+        docw.join(F.broadcast(final_len), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("n_sym")).cast("bigint").alias("cnt"))
+    )

@@ -118,6 +118,7 @@ def load_all() -> dict[str, QueryDef]:
             # r08 tail (new modules at the END — the r06/r05 discipline)
             media_decode,
             ann_rerank,
+            bpe,
         )
 
         _loaded = True
