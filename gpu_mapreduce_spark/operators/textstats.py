@@ -434,6 +434,86 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+CLF_SCALE = 10_000  # fixed-point scale of the ratio features
+CLF_THRESHOLD = 8_000  # keep gate on score_u (calibrated: ~60-65% keep)
+CLF_LEN_CAP = 1_000  # length feature saturates here
+# integer weights of the linear quality classifier (fasttext-filter shape):
+# reward stopword density / token diversity / length, punish repetition
+CLF_W = {"stop_u": 3, "uniq_u": 2, "dup2_u": -2, "top_u": -1, "len": 5}
+
+
+def classifier_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc linear quality-classifier score table (doc_id, n_tokens,
+    score_u, keep) — SCALE.md r08 design 3.
+
+    Features are EXACT integers: raw counts from the quality_score /
+    repetition_stats families, ratios as fixed-point integer divisions
+    ((CLF_SCALE * num) div den — both engines truncate non-negative
+    operands identically), so score_u = Σ w_i · f_i is replayable in SQL
+    verbatim. This is the stand-in for a learned linear filter (fasttext
+    quality classifier): swapping trained weights changes constants, not
+    the plan. One scan-shaped codegen projection, zero Python."""
+    t = tokens(F.col(text_col))
+    bi = _ngrams(t, 2)
+    n_tok = F.size(t).cast("bigint")
+    feats = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.filter(t, lambda x: F.lower(x).isin(STOPWORDS["en"])))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq"),
+        F.size(bi).cast("bigint").alias("n_bi"),
+        (F.size(bi) - F.size(F.array_distinct(bi))).cast("bigint").alias("dup_bi"),
+        F.when(
+            n_tok > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(t),
+                    lambda x: F.size(F.filter(t, lambda y: y == x)),
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("top_cnt"),
+    )
+    u = feats.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN ({CLF_SCALE} * n_stop) div n_tokens"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("stop_u"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN ({CLF_SCALE} * n_uniq) div n_tokens"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("uniq_u"),
+        F.expr(
+            f"CASE WHEN n_bi > 0 THEN ({CLF_SCALE} * dup_bi) div n_bi"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("dup2_u"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN ({CLF_SCALE} * top_cnt) div n_tokens"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("top_u"),
+    )
+    score = (
+        F.lit(CLF_W["stop_u"]).cast("bigint") * F.col("stop_u")
+        + F.lit(CLF_W["uniq_u"]).cast("bigint") * F.col("uniq_u")
+        + F.lit(CLF_W["dup2_u"]).cast("bigint") * F.col("dup2_u")
+        + F.lit(CLF_W["top_u"]).cast("bigint") * F.col("top_u")
+        + F.lit(CLF_W["len"]).cast("bigint")
+        * F.least(F.col("n_tokens"), F.lit(CLF_LEN_CAP).cast("bigint"))
+    )
+    return u.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score_u"),
+        (score >= CLF_THRESHOLD).alias("keep"),
+    )
+
+
 def pack_assignments(
     docs: DataFrame,
     capacity: int = 512,

@@ -119,6 +119,7 @@ def load_all() -> dict[str, QueryDef]:
             media_decode,
             ann_rerank,
             bpe,
+            quality_classifier,
         )
 
         _loaded = True
