@@ -15,15 +15,19 @@ user-keyed min-reductions, one timestamp of state per user per stage,
 no window over a user's event list) minus the final global reduce —
 the output is user-cardinality, which is what a funnel SERVICE stores.
 
-Streaming-half delivery contract (mirrors the caveat at
-funnel_stages_stream): the 3-timestamp fold is exact when a user's
-history arrives within one trigger (the availableNow drain it is
-equality-tested under). On a multi-batch bus feed, (a) consumers must
-keep the LAST emitted row per user_id — the operator emits a row
-whenever the state tuple changes, never per-trigger duplicates — and
-(b) an earlier-arriving view can open a conversion window whose clicks
-were discarded in prior batches; the fix at that delivery model is a
-watermark-horizon event buffer per user (state SIZE change, same fold).
+Streaming-half delivery contract: the bounded 3-timestamp fold
+(funnel_stages_stream) is exact when a user's history arrives within one
+trigger (the availableNow drain it is equality-tested under) or in
+time-ordered batches; consumers keep the row with the MAX emit_seq per
+user_id (a monotone marker held in state, so 'last' is derivable from
+row contents on unordered sinks). Under ARBITRARY cross-batch order an
+earlier-arriving view can open a conversion window whose clicks were
+discarded in prior batches — funnel_stages_stream_buffered (r08) is the
+watermark-horizon event-buffer variant that recovers them, pruning
+buffers by reachability (clicks dead past t1 + conv, purchases past
+t1 + 2·conv, since t1 only decreases); tests/test_streaming.py proves
+it equal to the batch half on a time-reversed feed the bounded fold
+provably gets wrong.
 """
 
 from __future__ import annotations

@@ -273,8 +273,15 @@ def funnel_stages_stream(
     (the availableNow file drain this dual is equality-tested under — the
     sessionize_stream delivery contract); on a multi-batch bus feed an
     earlier-arriving view can open a conversion window whose clicks were
-    discarded in prior batches — the standard fix is a watermark-horizon
-    event buffer per user, which changes the state SIZE, not this fold."""
+    discarded in prior batches — funnel_stages_stream_buffered is the
+    event-buffer variant that recovers them (same fold, bigger state).
+
+    Every emitted row carries `emit_seq`, a per-user monotone counter held
+    in state: 'keep the LAST row per user' is then derivable from row
+    CONTENTS (max emit_seq) on any sink — append-mode file sinks guarantee
+    no cross-batch ordering, and a state regression (t2 reverting to -1
+    when an earlier view re-folds the bounded state) means recency is not
+    inferable from the timestamps themselves."""
 
     def fn(
         key: tuple[Any, ...],
@@ -287,7 +294,11 @@ def funnel_stages_stream(
         stage = {
             s: tms[rows["event_type"] == s].tolist() for s in FUNNEL_STAGES
         }
-        prior_state = tuple(state.get) if state.exists else None
+        if state.exists:
+            *prior_list, seq = state.get
+            prior_state = tuple(prior_list)
+        else:
+            prior_state, seq = None, 0
         if prior_state is not None:
             for s, prior in zip(FUNNEL_STAGES, prior_state):
                 if prior >= 0:
@@ -310,21 +321,118 @@ def funnel_stages_stream(
             default=-1,
         )
         new_state = (int(t1), int(t2), int(t3))
-        state.update(new_state)
         # Emit only when the tuple CHANGED (append mode re-emits forever
         # otherwise: a multi-batch feed would yield one row per trigger for
         # every sighted user). A user whose funnel evolves still emits one
-        # row per change, so multi-batch consumers must keep the LAST row
-        # per user_id — documented at the registered query.
-        if t1 >= 0 and new_state != prior_state:
+        # row per change, stamped with the next emit_seq.
+        emit = t1 >= 0 and new_state != prior_state
+        if emit:
+            seq += 1
+        state.update((*new_state, int(seq)))
+        if emit:
             yield pd.DataFrame(
-                {"user_id": [user_id], "t1": [t1], "t2": [t2], "t3": [t3]}
+                {
+                    "user_id": [user_id], "t1": [t1], "t2": [t2],
+                    "t3": [t3], "emit_seq": [int(seq)],
+                }
             )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
-        outputStructType="user_id bigint, t1 bigint, t2 bigint, t3 bigint",
-        stateStructType="t1 bigint, t2 bigint, t3 bigint",
+        outputStructType=(
+            "user_id bigint, t1 bigint, t2 bigint, t3 bigint, emit_seq bigint"
+        ),
+        stateStructType="t1 bigint, t2 bigint, t3 bigint, seq bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stages_stream_buffered(
+    events: DataFrame, conv_ms: int = FUNNEL_CONV_MS
+) -> DataFrame:
+    """The funnel fold made exact under ARBITRARY cross-batch arrival
+    order: state buffers the stage-2/3 event timestamps that might yet
+    fall inside a conversion window, so an earlier-arriving view (a later
+    micro-batch delivering an older event) recovers clicks/purchases the
+    bounded 3-timestamp fold had already discarded — the delivery-model
+    fix drafted at queries/funnel_stream.py.
+
+    State = (t1, t2, t3, clicks[], purchases[], seq). The buffers are
+    PRUNED by what could still matter, exploiting that t1 = min(views)
+    only ever decreases as older events arrive:
+      - a click c is dead once c > t1 + conv_ms (the window (t1, t1+conv]
+        only moves EARLIER as t1 decreases, so c can never re-enter);
+      - a purchase p is dead once p > t1 + 2·conv_ms (max possible
+        t2 = t1 + conv_ms, so p can never fall inside (t2, t2+conv]).
+    Until a first view arrives (t1 = -1) nothing prunes — on a real bus
+    the watermark horizon bounds that phase: events older than the
+    watermark cannot arrive, so buffered timestamps older than
+    (watermark - 2·conv) are droppable the same way. Buffers are deduped
+    sorted lists, so at-least-once redelivery cannot grow state.
+
+    Emits on (t1, t2, t3) change with the same monotone emit_seq marker;
+    keep-max-emit_seq per user equals the batch chain on ANY feed order
+    (tests/test_streaming.py proves it on a time-reversed two-batch feed
+    that the bounded fold provably gets wrong)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs))
+        tms = rows["ts"].astype("int64") // 1_000_000  # pandas ns → ms
+        views = tms[rows["event_type"] == FUNNEL_STAGES[0]].tolist()
+        clicks = tms[rows["event_type"] == FUNNEL_STAGES[1]].tolist()
+        purchases = tms[rows["event_type"] == FUNNEL_STAGES[2]].tolist()
+        if state.exists:
+            st1, st2, st3, sclicks, spurchases, seq = state.get
+            prior = (st1, st2, st3)
+            if st1 >= 0:
+                views.append(st1)
+            clicks += list(sclicks)
+            purchases += list(spurchases)
+        else:
+            prior, seq = None, 0
+        t1 = min(views, default=-1)
+        if t1 >= 0:
+            clicks = [c for c in clicks if c <= t1 + conv_ms]
+            purchases = [p for p in purchases if p <= t1 + 2 * conv_ms]
+        t2 = min((c for c in clicks if t1 >= 0 and t1 < c <= t1 + conv_ms),
+                 default=-1)
+        t3 = min((p for p in purchases if t2 >= 0 and t2 < p <= t2 + conv_ms),
+                 default=-1)
+        new = (int(t1), int(t2), int(t3))
+        emit = t1 >= 0 and new != prior
+        if emit:
+            seq += 1
+        state.update(
+            (
+                *new,
+                sorted(set(int(c) for c in clicks)),
+                sorted(set(int(p) for p in purchases)),
+                int(seq),
+            )
+        )
+        if emit:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id], "t1": [new[0]], "t2": [new[1]],
+                    "t3": [new[2]], "emit_seq": [int(seq)],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id bigint, t1 bigint, t2 bigint, t3 bigint, emit_seq bigint"
+        ),
+        stateStructType=(
+            "t1 bigint, t2 bigint, t3 bigint,"
+            " clicks array<bigint>, purchases array<bigint>, seq bigint"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
