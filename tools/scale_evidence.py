@@ -25,6 +25,29 @@ this harness anchors them with a measured 10x point per heavy query:
     (n_levels=19, nz=8) = 4,194,304 edges / 524,288 vertices (raising nz
     instead would densify a fixed vertex set).
 
+  * EMBEDDING tier (IVF probe, SemDeDup candidate join, index append):
+    a REPS-x embeddings table built by replicating sf0.1 with a
+    deterministic per-replica SIGN FLIP per dimension (md5-derived
+    diag(±1) — an isometry, so every replica reproduces the original's
+    internal cosine structure BIT-EXACTLY; float negation is exact).
+    Cross-replica cosines are randomized sums of signed products —
+    NOTE: at the fixture's deliberately low 0.4 threshold in d=64,
+    random pairs are not rare (measured cross-replica rate 8e-4 vs
+    within-replica 3.5e-4), so unlike the text tier the replica trick
+    cannot make near-dup OUTPUT scale linearly. That is irrelevant to
+    what this tier measures: SemDeDup's candidate volume is cell
+    COHABITATION (Σ|cell|² ≈ N²/k), a function of the assignment alone,
+    and the IVF probe touches nprobe·N/k rows regardless of dup
+    structure. vec_ids shift by k*10_000. The tier measures the
+    operators at scale-appropriate PARAMETERS rather than the
+    fixture-pinned registered constants: centroid count grows with the
+    corpus (registered queries pin n_centroids=16 for oracle replay; a
+    store sizes it with N), and the suite records the measured
+    tradeoff — IVF probe with n_centroids ~ sqrt(N) (probe cost
+    ~ nprobe·N/k), SemDeDup candidates at k fixed vs ~sqrt(N) vs ~N
+    (pair volume N²/k: quadratic, N^1.5, linear — the cell-count
+    scaling note).
+
 $SPARK_GRAFT_SCALE_REPS (default 10) sets the replication factor — REPS=100
 gives the second decade of the text-tier series (the graph tier is
 REPS-independent).
@@ -134,6 +157,57 @@ def _copy_side_tables() -> None:
             shutil.copyfile(f"{SF1X}/{t}.parquet", dst)
 
 
+def build_10x_embeddings(spark: SparkSession) -> str:
+    """REPS-x embeddings table (single parquet file, completion-marked by
+    its own existence since nothing else is built here). Replica k applies
+    the deterministic sign pattern s_k(i) = ±1 from md5(f'emb{k}|{i}') —
+    diag(±1) is orthogonal, so within-replica cosines are preserved
+    bit-exactly (float negation is exact); cross-replica cosines are
+    randomized (see the module docstring's note on what that does and
+    does not buy at the 0.4 threshold)."""
+    import hashlib
+
+    dst = f"{SF10X}/embeddings_{REPS}x.parquet"
+    if os.path.exists(dst):
+        return dst
+    os.makedirs(SF10X, exist_ok=True)
+    e = spark.read.parquet(f"{SF1X}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    parts = [e]
+    for k in range(1, REPS):
+        signs = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if int(hashlib.md5(f"emb{k}|{i}".encode()).hexdigest(), 16)
+                    % 2
+                    else -1.0
+                ).cast("float")
+                for i in range(dim)
+            ]
+        )
+        parts.append(
+            e.select(
+                (F.col("vec_id") + k * 10_000).alias("vec_id"),
+                F.zip_with("embedding", signs, lambda x, s: x * s)
+                .cast("array<float>")
+                .alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    tmp = f"{SF10X}/_emb_build"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    return dst
+
+
 def _stages() -> dict[tuple[int, int], dict]:
     try:
         apps = json.load(urllib.request.urlopen(f"{UI}/applications", timeout=5))
@@ -234,10 +308,91 @@ def main() -> None:
         edges.unpersist()
         return res
 
-    if tier in ("all", "graph"):
-        out["graph"]["data_ratio"] = 8
-        out["graph"]["1x"] = graph_suite(16)   # 524,288 edges / 65,536 vertices
-        out["graph"]["8x"] = graph_suite(19)   # 4,194,304 edges / 524,288 vertices
+    def emb_suite(emb_path: str, n_centroids: int, label: str) -> dict:
+        """IVF probe / SemDeDup candidate join / frozen-quantizer append at
+        one (corpus, centroid-count) point. The index build + partitioned
+        write happen OUTSIDE the timed region (the at-rest amortization
+        every consumer relies on); timed costs are probe+rerank, the cell
+        self-join, and the delta assign+write."""
+        import tempfile
+
+        from gpu_mapreduce_spark.operators import similarity
+
+        emb = spark.read.parquet(emb_path)
+        n = emb.count()
+        centroids, assigned = similarity.ivf_build(
+            emb, n_centroids=n_centroids, seed=11
+        )
+        centroids = centroids.localCheckpoint(eager=True)
+        cells = assigned.localCheckpoint(eager=True)
+        idx = tempfile.mkdtemp(prefix=f"scale_ivf_{label}_")
+        cells.write.mode("overwrite").partitionBy("cid").parquet(idx)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        ).localCheckpoint(eager=True)
+        at_rest_schema = "vec_id bigint, embedding array<float>, cid int"
+
+        def probe() -> int:
+            probes = similarity.ivf_probes(
+                queries, centroids, nprobe=4
+            ).localCheckpoint(eager=True)
+            cids = sorted({r.cid for r in probes.select("cid").collect()})
+            back = spark.read.schema(at_rest_schema).parquet(idx)
+            return similarity.ivf_rerank(
+                back.filter(F.col("cid").isin(cids)), probes, k=10
+            ).count()
+
+        def semdedup() -> int:
+            return similarity.dup_pairs_semantic(
+                emb, threshold_e6=400_000, cells=cells
+            ).count()
+
+        # frozen-quantizer append: centroids trained on existing (7/8) only,
+        # delta (1/8) assigned against them + laid down as new cell files —
+        # the ann_index_append steady-state step, minus the full-scan proof
+        # digest (bookkeeping, not per-batch cost)
+        existing = emb.filter(F.col("vec_id") % 8 != 7)
+        ex_centroids, _ = similarity.ivf_build(
+            existing, n_centroids=n_centroids, seed=11
+        )
+        ex_centroids = ex_centroids.localCheckpoint(eager=True)
+        delta = emb.filter(F.col("vec_id") % 8 == 7).localCheckpoint(eager=True)
+
+        def append() -> int:
+            dpath = tempfile.mkdtemp(prefix=f"scale_append_{label}_")
+            da = similarity.ivf_assign(delta, ex_centroids)
+            da.write.mode("overwrite").partitionBy("cid").parquet(dpath)
+            cnt = spark.read.schema(at_rest_schema).parquet(dpath).count()
+            shutil.rmtree(dpath, ignore_errors=True)
+            return cnt
+
+        res = {
+            "n_vectors": n,
+            "n_centroids": n_centroids,
+            "ivf_probe": measure(spark, f"ivf_probe@{label}", probe),
+            "semdedup_pairs": measure(spark, f"semdedup@{label}", semdedup),
+            "index_append": measure(spark, f"append@{label}", append),
+        }
+        shutil.rmtree(idx, ignore_errors=True)
+        return res
+
+    if tier in ("all", "emb"):
+        emb_path_10x = build_10x_embeddings(spark)
+        out["emb"] = {
+            "data_ratio": REPS,
+            "1x": emb_suite(f"{SF1X}/embeddings.parquet", 16, "1x_k16"),
+            # n_centroids ~ sqrt(N): 16 -> 16*sqrt(REPS) (50 at REPS=10)
+            f"{REPS}x_sqrtN": emb_suite(
+                emb_path_10x, round(16 * REPS ** 0.5), f"{REPS}x_sqrtN"
+            ),
+            # the tradeoff points for the SemDeDup cell-count note:
+            # k fixed (pair volume ~ REPS^2) and k ~ N (pair volume ~ REPS)
+            f"{REPS}x_fixedK": emb_suite(emb_path_10x, 16, f"{REPS}x_fixedK"),
+            f"{REPS}x_linearK": emb_suite(
+                emb_path_10x, 16 * REPS, f"{REPS}x_linearK"
+            ),
+        }
+
     print(json.dumps(out))
 
 
