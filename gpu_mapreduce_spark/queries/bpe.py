@@ -98,7 +98,7 @@ def _bpe_oracle(k: int) -> str:
     oracle=_bpe_oracle(bpe.K_MERGES),
 )
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{bpe.K_MERGES} BPE merge rounds over `documents`: 'merge' rows carry
+    """K_MERGES BPE merge rounds over `documents`: 'merge' rows carry
     (step, merged token, selection count), 'doc' rows the final per-doc
     token counts. Corpus folds once to the word table; rounds are
     vocab-sized aggregates with one-row driver collects (operators/bpe)."""
