@@ -8,6 +8,9 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
 from gpu_mapreduce_spark.operators import bpe
 
 
@@ -82,3 +85,40 @@ def test_bpe_multichar_merge_chain(spark):
         },
         k=5,
     )
+
+
+# small random corpora over a 3-char alphabet: maximal merge collisions,
+# tie-breaks, single-char words, and words that fully merge within k rounds
+_word = st.text(alphabet="ab1", min_size=1, max_size=5)
+_doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=5)
+
+
+@given(docs=_corpus, k=st.integers(min_value=1, max_value=3))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_bpe_matches_model_on_random_corpora(spark, docs, k):
+    """Random tiny corpora over {a, b, 1}: merges and per-doc counts must
+    equal the pure-Python model for every draw — including rounds where a
+    word collapses to one symbol and stops contributing pairs. Corpora
+    with fewer than k possible merges are discarded (the operator, like
+    the registered query, fixes k below the corpus's merge capacity)."""
+    mapping = {i: t for i, t in enumerate(docs)}
+    try:
+        want_merges, want_docs = model_bpe(mapping, k)
+    except ValueError:  # min() over an empty pair table: corpus exhausted
+        assume(False)
+    df = spark.createDataFrame(
+        list(mapping.items()), "doc_id bigint, text string"
+    )
+    merges, words, docw = bpe.bpe_train(spark, df, k)
+    got_docs = {
+        r.doc_id: r.cnt for r in bpe.doc_token_counts(docw, words).collect()
+    }
+    assert merges == want_merges
+    assert got_docs == want_docs
