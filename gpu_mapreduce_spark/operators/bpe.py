@@ -89,6 +89,11 @@ def best_pair(pairs: DataFrame) -> tuple[str, str, int]:
     row = pairs.agg(
         F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("m")
     ).collect()[0].m
+    if row is None:  # every word is one symbol: nothing left to merge
+        raise ValueError(
+            "BPE corpus exhausted: no adjacent symbol pairs remain;"
+            " lower k below the corpus's merge capacity"
+        )
     return row.a, row.b, -row.nc
 
 

@@ -122,3 +122,13 @@ def test_bpe_matches_model_on_random_corpora(spark, docs, k):
     }
     assert merges == want_merges
     assert got_docs == want_docs
+
+
+def test_bpe_exhausted_corpus_raises_cleanly(spark):
+    """k above the corpus's merge capacity must fail with the named error,
+    not a NoneType crash from the empty argmax row."""
+    import pytest
+
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="merge capacity"):
+        bpe.bpe_train(spark, df, k=2)  # round 1 merges ab fully; round 2 empty
