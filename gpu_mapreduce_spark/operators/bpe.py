@@ -101,7 +101,8 @@ def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     """Rewrite every state with pair (a, b) merged greedily left-to-right
     (non-overlapping): fold prefixed symbols, appending bare `b` when the
     accumulator ends with ' '+a and the element is ' '+b (which turns the
-    state's tail symbol a into a||b), else appending the element."""
+    state's tail symbol a into a||b), else appending the element. All
+    non-state columns pass through."""
     fold = F.aggregate(
         F.expr(f"transform({_SY}, t -> ' ' || t)"),
         F.lit(""),
@@ -110,7 +111,8 @@ def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
             F.concat(acc, F.lit(b)),
         ).otherwise(F.concat(acc, x)),
     )
-    return words.select("word", "wt", fold.alias("s"))
+    carry = [c for c in words.columns if c != "s"]
+    return words.select(*carry, fold.alias("s"))
 
 
 def bpe_train(
@@ -128,6 +130,61 @@ def bpe_train(
         merges.append((step, a, b, cnt))
         words = apply_merge(words, a, b).localCheckpoint(eager=True)
     return merges, words, docw
+
+
+def encode_with_merges(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenizer APPLY — the corpus-scale dual of bpe_train (SCALE.md r09
+    design 1, staged here ahead of its registration): apply an already-
+    trained merge list, in training order, to every document's word
+    stream. Returns (doc_id, n_tokens_bpe, tokens_digest) where
+    tokens_digest is md5 over the doc's full encoded symbol sequence in
+    word order (each word's state is its ' '+symbol string, so the
+    concatenation is unambiguous and a SQL oracle replays it with
+    string_agg(s, '' ORDER BY pos)).
+
+    Topology: the merge folds run over the DISTINCT-word table
+    (vocab-sized — K chained folds, the training rewrite applied K times
+    in one lineage, no driver round-trips since the pairs are already
+    known), then every (doc_id, pos, word) occurrence picks up its
+    encoded state through one broadcast join and folds to a per-doc
+    digest. The corpus is read once; the only corpus-sized exchange is
+    the doc-keyed digest aggregate. At 100 TB the vocab join IS how a
+    tokenizer service ships its trie — swap the broadcast table for the
+    real tokenizer's Arrow UDF without changing the plan."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("pos", "word"),
+    )
+    vocab = toks.select("word").distinct().select(
+        "word", F.regexp_replace("word", "(.)", " $1").alias("s")
+    )
+    for a, b in merges:
+        vocab = apply_merge(vocab, a, b)
+    # bcast-audit: bounded (vocab table)
+    enc = toks.join(F.broadcast(vocab), "word")
+    tok_len = (
+        F.length("s") - F.length(F.translate("s", " ", ""))
+    ).cast("bigint")
+    return (
+        enc.select("doc_id", "pos", "s", tok_len.alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens_bpe"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                        lambda x: x["s"],
+                    ),
+                )
+            ).alias("tokens_digest"),
+        )
+    )
 
 
 def doc_token_counts(docw: DataFrame, words: DataFrame) -> DataFrame:

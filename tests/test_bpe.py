@@ -132,3 +132,53 @@ def test_bpe_exhausted_corpus_raises_cleanly(spark):
     df = spark.createDataFrame([(0, "ab ab")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="merge capacity"):
         bpe.bpe_train(spark, df, k=2)  # round 1 merges ab fully; round 2 empty
+
+
+def model_encode(docs: dict[int, str], merges):
+    """Pure-Python apply: same greedy fold per word, digest over the
+    ' '+symbol state strings in word order."""
+    import hashlib
+
+    out = {}
+    for d, t in docs.items():
+        states = []
+        for w in re.findall(bpe.WORD_RE, t.lower()):
+            sy = list(w)
+            for a, b in merges:
+                folded: list = []
+                for x in sy:
+                    if folded and folded[-1] == a and x == b:
+                        folded[-1] = a + b
+                    else:
+                        folded.append(x)
+                sy = folded
+            states.append("".join(" " + s for s in sy))
+        if states:
+            out[d] = (
+                sum(s.count(" ") for s in states),
+                hashlib.md5("".join(states).encode()).hexdigest(),
+            )
+    return out
+
+
+def test_encode_with_merges_matches_model_and_training_counts(spark):
+    """Applying the trained merges must reproduce (a) the pure-Python
+    per-doc encoding exactly (count + order-faithful digest) and (b) the
+    training loop's own doc_token_counts — train and apply agree."""
+    docs = {
+        0: "abab abab cc abc",
+        1: "aaaa ab a b",
+        2: "xyz zz zz ab1 1ab",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    merges4, words, docw = bpe.bpe_train(spark, df, 4)
+    merges = [(a, b) for (_, a, b, _) in merges4]
+    got = {
+        r.doc_id: (r.n_tokens_bpe, r.tokens_digest)
+        for r in bpe.encode_with_merges(df, merges).collect()
+    }
+    assert got == model_encode(docs, merges)
+    train_counts = {
+        r.doc_id: r.cnt for r in bpe.doc_token_counts(docw, words).collect()
+    }
+    assert {d: c for d, (c, _) in got.items()} == train_counts
