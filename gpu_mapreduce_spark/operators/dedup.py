@@ -56,6 +56,41 @@ def exact_groups(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def canonical_by_score(members: DataFrame, scores: DataFrame) -> DataFrame:
+    """Cluster-representative selection by QUALITY, not id (SCALE.md r09
+    design 2, staged ahead of registration): given near-dup cluster
+    membership (cluster, doc_id) and a per-doc integer score table
+    (doc_id, score_u — e.g. textstats.classifier_scores), the survivor
+    per cluster is the highest-scoring member, ties to the LOWEST doc_id
+    — the "keep the best copy" rule production pipelines apply after
+    near-dup clustering, where members genuinely differ (exact-dup
+    clusters normalize to identical tokens, making score selection
+    vacuous there; exact_groups keeps its min-id rule).
+
+    One equi-join + one packed-struct MAX aggregate (no window): output
+    (cluster, survivor_id, best_score_u, n_members). 100 TB: both inputs
+    are narrow at-rest tables (cluster map, score tier); the join and the
+    cluster-keyed aggregate are the only shuffles."""
+    j = members.join(scores, "doc_id")
+    return (
+        j.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("score_u"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("m"),
+        )
+        .select(
+            "cluster",
+            (-F.col("m.nid")).cast("bigint").alias("survivor_id"),
+            F.col("m.score_u").alias("best_score_u"),
+            "n_members",
+        )
+    )
+
+
 def shingle_array(text_col: str = "text", k: int = 3) -> Column:
     """Distinct word k-gram shingles of one document as an array column.
 

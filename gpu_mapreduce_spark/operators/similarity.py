@@ -535,6 +535,26 @@ def dup_pairs_semantic(
     )
 
 
+def assignment_migration(
+    old_assigned: DataFrame, new_assigned: DataFrame
+) -> DataFrame:
+    """Quantizer-drift histogram between two cell assignments of the same
+    corpus (SCALE.md r09 design 3, staged ahead of registration):
+    (old_cid, new_cid, n_vecs) for every occupied transition — the metric
+    an IVF store watches to decide when an out-of-band retrain+swap is
+    due, and the proof artifact of the swap itself (how many vectors each
+    old cell scattered across the new quantizer). One vec_id equi-join +
+    one bounded aggregate (≤ k_old × k_new groups); at 100 TB both sides
+    are the narrow at-rest assignments, co-partitioned on vec_id."""
+    o = old_assigned.select("vec_id", F.col("cid").alias("old_cid"))
+    n = new_assigned.select("vec_id", F.col("cid").alias("new_cid"))
+    return (
+        o.join(n, "vec_id")
+        .groupBy("old_cid", "new_cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column — the
     4x compression step a vector store applies before indexing at corpus

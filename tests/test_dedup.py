@@ -71,3 +71,27 @@ def test_lsh_recall_is_exact_at_driver_scale(spark):
     lsh = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(c, 0.8).collect()}
     assert len(exact) > 0
     assert lsh == exact
+
+
+def test_canonical_by_score_picks_best_member(spark):
+    """Survivor per cluster = argmax score, ties to the LOWEST doc_id;
+    singleton clusters survive as themselves."""
+    from gpu_mapreduce_spark.operators import dedup
+
+    members = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "cluster bigint, doc_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(10, 500), (11, 900), (12, 900), (20, 100), (21, 100), (30, 7)],
+        "doc_id bigint, score_u bigint",
+    )
+    got = {
+        r.cluster: (r.survivor_id, r.best_score_u, r.n_members)
+        for r in dedup.canonical_by_score(members, scores).collect()
+    }
+    assert got == {
+        1: (11, 900, 3),   # 11 vs 12 tie on 900 -> lowest id
+        2: (20, 100, 2),   # tie -> lowest id
+        3: (30, 7, 1),
+    }

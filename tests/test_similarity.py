@@ -174,3 +174,26 @@ def test_crossscore_rerank_exact_and_bounded(spark):
         assert [
             (r.rerank_score, r.dot_u, r.n_overlap, r.vec_id) for r in rows
         ] == expected[qid]
+
+
+def test_assignment_migration_histogram(spark):
+    """The drift histogram must count every (old, new) transition and
+    nothing else — identical assignments land on the diagonal."""
+    old = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3)],
+        "vec_id bigint, cid int",
+    )
+    new = spark.createDataFrame(
+        [(1, 1), (2, 4), (3, 4), (4, 2), (5, 3)],
+        "vec_id bigint, cid int",
+    )
+    got = {
+        (r.old_cid, r.new_cid): r.n_vecs
+        for r in similarity.assignment_migration(old, new).collect()
+    }
+    assert got == {(1, 1): 1, (1, 4): 1, (2, 4): 1, (2, 2): 1, (3, 3): 1}
+    same = {
+        (r.old_cid, r.new_cid): r.n_vecs
+        for r in similarity.assignment_migration(old, old).collect()
+    }
+    assert all(o == n for (o, n) in same) and sum(same.values()) == 5
