@@ -385,13 +385,20 @@ def main() -> None:
             f"{REPS}x_sqrtN": emb_suite(
                 emb_path_10x, round(16 * REPS ** 0.5), f"{REPS}x_sqrtN"
             ),
-            # the tradeoff points for the SemDeDup cell-count note:
-            # k fixed (pair volume ~ REPS^2) and k ~ N (pair volume ~ REPS)
-            f"{REPS}x_fixedK": emb_suite(emb_path_10x, 16, f"{REPS}x_fixedK"),
+            # k ~ N (pair volume ~ REPS — SemDeDup's constant-cell regime)
             f"{REPS}x_linearK": emb_suite(
                 emb_path_10x, 16 * REPS, f"{REPS}x_linearK"
             ),
         }
+        if REPS <= 10:
+            # the quadratic tradeoff point (k frozen, pair volume ~ REPS²)
+            # is only affordable at the first decade: at REPS=100 it is
+            # ~2.5e9 exact sims per run by the N²/k law the 10x point
+            # already measures — extrapolation is arithmetic, not evidence
+            # worth an hour of compute
+            out["emb"][f"{REPS}x_fixedK"] = emb_suite(
+                emb_path_10x, 16, f"{REPS}x_fixedK"
+            )
 
     print(json.dumps(out))
 
