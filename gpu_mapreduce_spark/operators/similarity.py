@@ -223,7 +223,10 @@ def ivf_build(
     # top-n then a driver merge of n rows/partition — so the corpus is never
     # funneled through one task (a global Window.orderBy would be exactly
     # that single-task sort). The row_number that assigns cids runs AFTER
-    # the limit, over n_centroids rows only.
+    # the limit, over n_centroids rows only. The centroid table is
+    # checkpointed eagerly: ivf_assign collects it driver-side (bounded, k
+    # rows), and without the cut that collect would re-run the corpus-wide
+    # pick a second time for the returned `centroids` dataframe.
     picked = (
         embeddings.select("vec_id", "embedding", pick_hash.alias("_h"))
         .orderBy("_h", "vec_id")
@@ -234,32 +237,74 @@ def ivf_build(
             "cid", F.row_number().over(Window.orderBy("_h", "vec_id"))
         )
         .select("cid", F.col("embedding").alias("ce"))
+        .localCheckpoint(eager=True)
     )
     return centroids, ivf_assign(embeddings, centroids)
 
 
+def nearest_cid(emb: Column, centroid_rows: list[tuple[int, list[float]]]) -> Column:
+    """Winning-cell expression for one embedding column against a FROZEN,
+    driver-side centroid list (ties → lower cid): the argmax runs inside
+    the scan projection, so the embedding payload NEVER enters an exchange
+    — the lean shape the r08 100x measurement demanded (SCALE.md r09
+    design 3; the kmeans_2d least() discipline generalized to d dims).
+
+    The centroid matrix is ONE array-of-structs literal per centroid
+    (F.lit of a list is a single Literal node, so the Catalyst tree is
+    O(k), not O(k·d)) folded with transform + array_max over (cs, -cid)
+    structs — ascending-cid literal order plus the negated cid reproduces
+    ivf_assign's historical ties-to-lower-cid rule bit-for-bit (same
+    float->double casts, same left-to-right fold order as _quantized_sim
+    against a joined centroid column). Each element evaluates the
+    quantized cosine exactly once.
+
+    Shape note (measured at k=160 on the 100x harness corpus): a fully
+    UNROLLED codegen form (explicit k·d literal multiply-add terms) was
+    tried and REJECTED — the 21k-node expression tree exceeds janino's
+    method limits, whole-stage codegen falls back to interpreted
+    node-walking, and the walk is ~4x SLOWER than this higher-order-
+    function fold (112 s vs 28 s). The O(k) literal fold is also the only
+    shape whose analysis cost stays flat at store-scale k."""
+    rows = sorted((int(cid), [float(x) for x in ce]) for cid, ce in centroid_rows)
+    cmat = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cid"),
+                F.lit(ce).alias("ce"),
+            )
+            for cid, ce in rows
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            cmat,
+            lambda c: F.struct(
+                _quantized_sim(emb, c["ce"]).alias("cs"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+    return (-best["ncid"]).cast("int")
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid cell assignment against a FROZEN centroid set
-    (ties → lower cid): one pass over `embeddings` with the k centroids
-    broadcast. Split from ivf_build so incremental index maintenance can
-    route a delta batch into the EXISTING coarse quantizer's cells (the
-    FAISS `IndexIVF.add` semantics — append never re-clusters) exactly as
-    the initial build assigned the base corpus."""
-    return (
-        # bcast-audit: bounded (k centroids)
-        embeddings.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            _quantized_sim(F.col("embedding"), F.col("ce")).alias("cs"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))).alias("mx"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", (-F.col("mx.ncid")).alias("cid"))
+    (ties → lower cid): one scan-shaped projection over `embeddings`, with
+    the k centroids collected driver-side (bounded scalar discipline — k
+    rows) and burned into the projection as literals (nearest_cid). Zero
+    shuffles and zero joins: the previous broadcast-crossJoin + groupBy
+    argmax carried the embedding payload through its aggregate exchange
+    (measured 74 s at k=160 in the r08 scale harness); here the payload
+    never leaves its row. Split from ivf_build so incremental index
+    maintenance can route a delta batch into the EXISTING coarse
+    quantizer's cells (the FAISS `IndexIVF.add` semantics — append never
+    re-clusters) exactly as the initial build assigned the base corpus."""
+    rows = [
+        (r["cid"], list(r["ce"]))
+        for r in centroids.select("cid", "ce").collect()  # bounded: k rows
+    ]
+    return embeddings.select(
+        "vec_id", "embedding", nearest_cid(F.col("embedding"), rows).alias("cid")
     )
 
 

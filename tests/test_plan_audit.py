@@ -39,7 +39,8 @@ _QUERIES = load_all()
 # measured against (operators/similarity.py docstrings).
 ALLOWED_BNLJ = {
     "ann_bruteforce_topk": "corpus x broadcast 8-row query set (exact baseline)",
-    "ann_ivf_topk": "corpus x broadcast centroid table (cell assignment)",
+    "ann_ivf_topk": "query set x broadcast centroid table (probe ranking; "
+    "the cell assignment itself is a scan projection since r09)",
     # guarded: dup_pairs refuses corpora above DUP_PAIRS_MAX_ROWS (see
     # operators/similarity.py + tests/test_similarity.py guard test)
     "dedup_embedding": "O(n^2) exact near-dup baseline for dedup_embedding_lsh",
