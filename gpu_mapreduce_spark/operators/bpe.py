@@ -83,17 +83,16 @@ def pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def best_pair(pairs: DataFrame) -> tuple[str, str, int]:
+def best_pair(pairs: DataFrame) -> tuple[str, str, int] | None:
     """The round's winning merge: max count, ties to the lexicographically
-    smallest (a, b) — one global struct-MIN aggregate, one collected row."""
+    smallest (a, b) — one global struct-MIN aggregate, one collected row.
+    None when no adjacent pairs remain (every word is one symbol): the
+    corpus's merge capacity is exhausted."""
     row = pairs.agg(
         F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("m")
     ).collect()[0].m
-    if row is None:  # every word is one symbol: nothing left to merge
-        raise ValueError(
-            "BPE corpus exhausted: no adjacent symbol pairs remain;"
-            " lower k below the corpus's merge capacity"
-        )
+    if row is None:
+        return None
     return row.a, row.b, -row.nc
 
 
@@ -118,15 +117,22 @@ def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
 def bpe_train(
     spark: SparkSession, docs: DataFrame, k: int = K_MERGES
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
-    """Run k merge rounds; returns (merges, final words, docw) where
-    merges = [(step, a, b, cnt_at_selection)]. Per-round lineage is cut
-    with an eager localCheckpoint (vocab-sized state; the cc_find
-    discipline)."""
+    """Run UP TO k merge rounds; returns (merges, final words, docw) where
+    merges = [(step, a, b, cnt_at_selection)]. A corpus whose merge
+    capacity is below k stops early with the merges found so far — the
+    registered oracle degrades identically (its per-round CTEs LEFT JOIN
+    an empty argmax row, leaving states unchanged and emitting no merge
+    row), so an undersized corpus yields a comparable gate result instead
+    of a hard job failure (r08 ADVICE). Per-round lineage is cut with an
+    eager localCheckpoint (vocab-sized state; the cc_find discipline)."""
     docw, words = word_tables(docs)
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
-        a, b, cnt = best_pair(pair_counts(words))
+        best = best_pair(pair_counts(words))
+        if best is None:  # merge capacity exhausted: every word is 1 symbol
+            break
+        a, b, cnt = best
         merges.append((step, a, b, cnt))
         words = apply_merge(words, a, b).localCheckpoint(eager=True)
     return merges, words, docw

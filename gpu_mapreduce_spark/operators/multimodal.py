@@ -212,6 +212,12 @@ def decode_wav_bytes(data: bytes) -> dict:
         cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # same guard as the data chunk: a declared size past the
+            # available bytes or short of the 16-byte PCM header is a
+            # truncated stream — keep the documented ValueError contract
+            # uniform instead of leaking struct.error to direct callers
+            if len(body) < size or len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             # a declared size past the available bytes (slice clamped) or an
@@ -272,12 +278,17 @@ def synth_bmp_bytes(media_id: int) -> bytes:
 
 
 def synth_wav_bytes(media_id: int) -> bytes:
-    """Deterministic DECODABLE PCM16 WAV: n = 8 + id%9 total samples,
-    channels = 1 + id%2, rate = 8000 + (id%4)*4000; PCM byte i =
-    _synth_byte (both bytes of every sample in 1..127, so samples are
-    positive and the oracle's lo + 256*hi reconstruction is exact)."""
-    n = 8 + media_id % 9
+    """Deterministic DECODABLE PCM16 WAV: channels = 1 + id%2, n =
+    channels * (4 + id%5) total samples — always a whole number of frames,
+    so the data-chunk byte count is a multiple of block align and a real
+    codec swapped in for the stdlib decoder accepts the fixture (r08
+    ADVICE: the previous 8 + id%9 gave stereo files a fractional final
+    frame — well-formed to our decoder, malformed RIFF to a strict one).
+    rate = 8000 + (id%4)*4000; PCM byte i = _synth_byte (both bytes of
+    every sample in 1..127, so samples are positive and the oracle's
+    lo + 256*hi reconstruction is exact)."""
     channels = 1 + media_id % 2
+    n = channels * (4 + media_id % 5)
     rate = 8000 + (media_id % 4) * 4000
     pcm = bytes(_synth_byte(media_id, i) for i in range(2 * n))
     fmt = struct.pack(

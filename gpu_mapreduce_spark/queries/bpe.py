@@ -58,6 +58,11 @@ def _bpe_oracle(k: int) -> str:
         ),
         b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
         w{r} AS (
+            -- LEFT JOIN ON TRUE so an exhausted corpus (empty b{r})
+            -- degrades to the identity rewrite instead of an empty vocab:
+            -- ends_with(acc, ' ' || NULL) is NULL, the CASE falls to its
+            -- ELSE arm, and the fold copies the state unchanged — matching
+            -- bpe_train's early stop with the merges found so far
             SELECT word, wt,
                    list_reduce(
                        list_transform(string_split(s, ' ')[2:],
@@ -66,7 +71,7 @@ def _bpe_oracle(k: int) -> str:
                                          AND x = ' ' || b{r}.b
                                         THEN acc || b{r}.b
                                         ELSE acc || x END) AS s
-            FROM w{r - 1}, b{r}
+            FROM w{r - 1} LEFT JOIN b{r} ON TRUE
         )"""
         )
     merge_selects = "\n        UNION ALL ".join(

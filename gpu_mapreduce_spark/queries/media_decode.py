@@ -44,7 +44,7 @@ _HI = _B.format(i="(2 * k + 1)")
             FROM m WHERE media_id % 3 = 0
         ),
         wav AS (
-            SELECT media_id, 8 + media_id % 9 AS n,
+            SELECT media_id, (1 + media_id % 2) * (4 + media_id % 5) AS n,
                    CAST(1 + media_id % 2 AS INT) AS ch,
                    CAST(8000 + (media_id % 4) * 4000 AS INT) AS sr
             FROM m WHERE media_id % 3 = 1

@@ -23,6 +23,7 @@ from typing import Any
 
 import pandas as pd
 
+from pyspark.errors import PySparkRuntimeError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -276,6 +277,17 @@ def funnel_stages_stream(
     discarded in prior batches — funnel_stages_stream_buffered is the
     event-buffer variant that recovers them (same fold, bigger state).
 
+    CHECKPOINT COMPATIBILITY (r08 change): the state schema grew from
+    (t1, t2, t3) to (t1, t2, t3, seq) and the output gained emit_seq.
+    Structured Streaming state is schema-pinned per checkpoint, so a
+    deployment restarting from a pre-r08 checkpoint fails state
+    deserialization — start the upgraded query from a NEW checkpoint
+    location (replaying the source) rather than the old one. Spark's
+    state store offers no in-place 3->4-field migration hook; the
+    alternative (versioned read tolerating 3-field state with seq=0)
+    is not expressible through applyInPandasWithState's single
+    stateStructType.
+
     Every emitted row carries `emit_seq`, a per-user monotone counter held
     in state: 'keep the LAST row per user' is then derivable from row
     CONTENTS (max emit_seq) on any sink — append-mode file sinks guarantee
@@ -348,6 +360,35 @@ def funnel_stages_stream(
     )
 
 
+def _prune_buffers(
+    t1: int,
+    clicks: list[int],
+    purchases: list[int],
+    conv_ms: int,
+    wm_ms: int,
+) -> tuple[list[int], list[int]]:
+    """Buffered-funnel state pruning (pure; unit-tested directly).
+
+    With a first view known (t1 >= 0): a click above t1 + conv and a
+    purchase above t1 + 2·conv can never enter their windows again (t1
+    only decreases). Without one (t1 = -1): every future view has event
+    time >= the watermark, so timestamps below wm - 2·conv are
+    unreachable by any future window; wm_ms = 0 (no watermark configured)
+    disables that arm."""
+    if t1 >= 0:
+        return (
+            [c for c in clicks if c <= t1 + conv_ms],
+            [p for p in purchases if p <= t1 + 2 * conv_ms],
+        )
+    if wm_ms > 0:
+        horizon = wm_ms - 2 * conv_ms
+        return (
+            [c for c in clicks if c >= horizon],
+            [p for p in purchases if p >= horizon],
+        )
+    return clicks, purchases
+
+
 def funnel_stages_stream_buffered(
     events: DataFrame, conv_ms: int = FUNNEL_CONV_MS
 ) -> DataFrame:
@@ -365,11 +406,19 @@ def funnel_stages_stream_buffered(
         only moves EARLIER as t1 decreases, so c can never re-enter);
       - a purchase p is dead once p > t1 + 2·conv_ms (max possible
         t2 = t1 + conv_ms, so p can never fall inside (t2, t2+conv]).
-    Until a first view arrives (t1 = -1) nothing prunes — on a real bus
-    the watermark horizon bounds that phase: events older than the
-    watermark cannot arrive, so buffered timestamps older than
-    (watermark - 2·conv) are droppable the same way. Buffers are deduped
-    sorted lists, so at-least-once redelivery cannot grow state.
+    Until a first view arrives (t1 = -1) the t1-window rules can't fire,
+    so the WATERMARK horizon prunes instead (wired via
+    state.getCurrentWatermarkMs(), nonzero when the source stream has
+    withWatermark on ts): events older than the watermark cannot arrive,
+    so every future view has ts >= wm, which caps the reachable windows
+    at (wm, wm+conv] for clicks and (wm, wm+2·conv] for purchases —
+    buffered timestamps below (wm - 2·conv) are dead under ANY future
+    view, the horizon the module has documented since r08. On an
+    unwatermarked feed (wm = 0) the horizon is negative and the prune is
+    a no-op, preserving the availableNow equality tests. Buffers are
+    deduped sorted lists, so at-least-once redelivery cannot grow state;
+    with the horizon wired, a continuous feed of view-less users no
+    longer accumulates unbounded click/purchase buffers (r08 ADVICE).
 
     Emits on (t1, t2, t3) change with the same monotone emit_seq marker;
     keep-max-emit_seq per user equals the batch chain on ANY feed order
@@ -397,9 +446,11 @@ def funnel_stages_stream_buffered(
         else:
             prior, seq = None, 0
         t1 = min(views, default=-1)
-        if t1 >= 0:
-            clicks = [c for c in clicks if c <= t1 + conv_ms]
-            purchases = [p for p in purchases if p <= t1 + 2 * conv_ms]
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except PySparkRuntimeError:  # no withWatermark on the source stream
+            wm_ms = 0
+        clicks, purchases = _prune_buffers(t1, clicks, purchases, conv_ms, wm_ms)
         t2 = min((c for c in clicks if t1 >= 0 and t1 < c <= t1 + conv_ms),
                  default=-1)
         t3 = min((p for p in purchases if t2 >= 0 and t2 < p <= t2 + conv_ms),

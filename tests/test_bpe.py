@@ -8,7 +8,7 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from gpu_mapreduce_spark.operators import bpe
@@ -29,6 +29,8 @@ def model_bpe(docs: dict[int, str], k: int):
         for w, sy in state.items():
             for i in range(len(sy) - 1):
                 pc[(sy[i], sy[i + 1])] += weight[w]
+        if not pc:  # capacity exhausted: stop with the merges found so far
+            break
         (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((step, a, b, cnt))
         for w, sy in state.items():
@@ -105,14 +107,11 @@ _corpus = st.lists(_doc, min_size=1, max_size=5)
 def test_bpe_matches_model_on_random_corpora(spark, docs, k):
     """Random tiny corpora over {a, b, 1}: merges and per-doc counts must
     equal the pure-Python model for every draw — including rounds where a
-    word collapses to one symbol and stops contributing pairs. Corpora
-    with fewer than k possible merges are discarded (the operator, like
-    the registered query, fixes k below the corpus's merge capacity)."""
+    word collapses to one symbol and stops contributing pairs, and corpora
+    whose merge capacity is below k (both sides stop early with the merges
+    found so far — the r08 ADVICE graceful-exhaustion contract)."""
     mapping = {i: t for i, t in enumerate(docs)}
-    try:
-        want_merges, want_docs = model_bpe(mapping, k)
-    except ValueError:  # min() over an empty pair table: corpus exhausted
-        assume(False)
+    want_merges, want_docs = model_bpe(mapping, k)
     df = spark.createDataFrame(
         list(mapping.items()), "doc_id bigint, text string"
     )
@@ -124,14 +123,17 @@ def test_bpe_matches_model_on_random_corpora(spark, docs, k):
     assert got_docs == want_docs
 
 
-def test_bpe_exhausted_corpus_raises_cleanly(spark):
-    """k above the corpus's merge capacity must fail with the named error,
-    not a NoneType crash from the empty argmax row."""
-    import pytest
-
+def test_bpe_exhausted_corpus_stops_gracefully(spark):
+    """k above the corpus's merge capacity must stop with the merges found
+    so far (not raise): the oracle's LEFT-JOIN rounds degrade to identity
+    rewrites, so both sides report the same truncated merge table."""
     df = spark.createDataFrame([(0, "ab ab")], "doc_id bigint, text string")
-    with pytest.raises(ValueError, match="merge capacity"):
-        bpe.bpe_train(spark, df, k=2)  # round 1 merges ab fully; round 2 empty
+    # round 1 merges ab fully; round 2 finds no pairs and stops
+    merges, words, docw = bpe.bpe_train(spark, df, k=2)
+    assert merges == [(1, "a", "b", 2)]
+    assert [r.s for r in words.collect()] == [" ab"]
+    got = {r.doc_id: r.cnt for r in bpe.doc_token_counts(docw, words).collect()}
+    assert got == {0: 2}
 
 
 def model_encode(docs: dict[int, str], merges):
@@ -159,6 +161,32 @@ def model_encode(docs: dict[int, str], merges):
                 hashlib.md5("".join(states).encode()).hexdigest(),
             )
     return out
+
+
+def test_bpe_oracle_degrades_with_exhausted_corpus(spark):
+    """Query-level contract for the graceful stop: on a corpus whose merge
+    capacity is below K_MERGES, the registered bpe_merge_steps Spark path
+    and its DuckDB oracle (LEFT-JOIN rounds) must STILL agree — truncated
+    merge table, unchanged per-doc counts — instead of diverging into a
+    job failure vs empty CTEs (r08 ADVICE)."""
+    import duckdb
+
+    from gpu_mapreduce_spark.queries.bpe import _bpe_oracle
+
+    docs = {0: "ab ab ba", 1: "ab b a"}  # capacity 2 < K_MERGES = 8
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    merges, words, docw = bpe.bpe_train(spark, df, bpe.K_MERGES)
+    assert 0 < len(merges) < bpe.K_MERGES
+    spark_rows = {("merge", s, a + b, c) for (s, a, b, c) in merges} | {
+        ("doc", r.doc_id, "", r.cnt)
+        for r in bpe.doc_token_counts(docw, words).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(docs.items()))
+    want = {tuple(r) for r in con.sql(_bpe_oracle(bpe.K_MERGES)).fetchall()}
+    con.close()
+    assert spark_rows == want
 
 
 def test_encode_with_merges_matches_model_and_training_counts(spark):

@@ -85,6 +85,19 @@ def test_decode_real_pure_parsers_reject_malformed():
         odd = bytearray(_wav_pcm16(1, 8000, [1, 2]))
         odd[-8:-4] = struct.pack("<I", 3)  # data chunk declares 3 bytes
         mm.decode_wav_bytes(bytes(odd[:-1]))
+    with pytest.raises(ValueError):  # truncated fmt chunk: the documented
+        # ValueError contract, not a struct.error leak (r08 ADVICE)
+        good = _wav_pcm16(1, 8000, [1, 2])
+        mm.decode_wav_bytes(good[:20])  # cuts inside the fmt body
+
+
+def test_synth_wav_whole_frames():
+    """Stereo fixtures must contain a whole number of frames (data bytes a
+    multiple of block align) — a strict RIFF codec rejects fractional final
+    frames even though the stdlib decoder tolerates them (r08 ADVICE)."""
+    for mid in range(32):
+        d = mm.decode_wav_bytes(mm.synth_wav_bytes(mid))
+        assert d["n_values"] % d["channels"] == 0
 
 
 def test_synth_payloads_round_trip_to_formula():
@@ -99,7 +112,8 @@ def test_synth_payloads_round_trip_to_formula():
         assert d["n_values"] == w * h * 3 and d["value_sum"] == sum(canon)
         assert d["decoded_md5"] == hashlib.md5(canon).hexdigest()
     for mid in [1, 4, 7, 124, 4999]:  # % 3 == 1 -> wav
-        n = 8 + mid % 9
+        ch = 1 + mid % 2
+        n = ch * (4 + mid % 5)  # whole frames: n is a multiple of channels
         pcm = bytes(1 + (mid * 31 + i * 7) % 127 for i in range(2 * n))
         d = mm.decode_wav_bytes(mm.synth_wav_bytes(mid))
         assert (d["fmt"], d["channels"], d["sample_rate"]) == (

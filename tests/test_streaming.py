@@ -305,3 +305,56 @@ def test_funnel_buffered_equals_bounded_on_ordered_feed(spark):
     )
     cols = ["user_id", "t1", "t2", "t3"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_prune_buffers_unit():
+    """Pure-fold contract of the buffered funnel's state pruning: the
+    t1-window rules with a view, the watermark horizon (wm - 2*conv)
+    without one, and a no-op on an unwatermarked feed (wm = 0)."""
+    conv = 100
+    # with a view: clicks capped at t1+conv, purchases at t1+2*conv
+    c, p = pipeline._prune_buffers(50, [100, 150, 151], [200, 250, 251], conv, 0)
+    assert c == [100, 150] and p == [200, 250]
+    # view-less + watermark: drop below wm - 2*conv
+    c, p = pipeline._prune_buffers(-1, [99, 100, 500], [1, 300, 900], conv, 300)
+    assert c == [100, 500] and p == [300, 900]
+    # view-less + no watermark: keep everything (availableNow equality runs)
+    c, p = pipeline._prune_buffers(-1, [1, 2], [3], conv, 0)
+    assert c == [1, 2] and p == [3]
+
+
+def test_funnel_buffered_watermarked_feed_equals_batch(spark, tmp_path):
+    """The watermark-horizon prune must drop only DEAD state: on a
+    two-batch watermarked feed whose first batch delivers a view-less
+    user's clicks (buffered, then pruned once the watermark passes their
+    horizon), the final keep-max-emit_seq table still equals the batch
+    fold — pruned timestamps were unreachable by any admissible later
+    view, so no conversion is lost."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    ev = table(spark, SF_DIR, "events")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0].m
+    d = str(tmp_path / "feed_wm")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(d)
+    _time.sleep(1.1)  # file-source batch order = modification time
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
+    stream = pipeline.funnel_stages_stream_buffered(
+        spark.readStream.schema(pipeline.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withWatermark("ts", "1 hour")
+    )
+    got = pipeline.run_stream_to_memory(
+        stream, "t_funnel_wm", spark, output_mode="append"
+    )
+    last: dict = {}
+    for r in got.collect():
+        if r.user_id not in last or r.emit_seq > last[r.user_id][0]:
+            last[r.user_id] = (r.emit_seq, r.t1, r.t2, r.t3)
+    want = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in pipeline.funnel_stages_batch(ev).collect()
+    }
+    assert {u: v[1:] for u, v in last.items()} == want
