@@ -27,7 +27,12 @@ from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources.tables import table
 
 
-def _bpe_oracle(k: int) -> str:
+def bpe_cte_chain(k: int) -> str:
+    """The shared WITH-clause prefix replaying k BPE merge rounds: word
+    tables (tok/docw/w0) plus per-round (p{{r}}, b{{r}}, w{{r}}) CTEs.
+    Ends after w{{k}} — callers append their own final CTEs/SELECT
+    (bpe_merge_steps pins the merge table + doc counts; bpe_encode_corpus
+    in queries/bpe_encode.py re-encodes every document against w{{k}})."""
     parts = [
         f"""
         WITH tok AS (
@@ -74,11 +79,16 @@ def _bpe_oracle(k: int) -> str:
             FROM w{r - 1} LEFT JOIN b{r} ON TRUE
         )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int) -> str:
     merge_selects = "\n        UNION ALL ".join(
         f"SELECT 'merge' AS kind, CAST({r} AS BIGINT) AS id,"
         f" a || b AS token, cnt FROM b{r}"
         for r in range(1, k + 1)
     )
+    parts = [bpe_cte_chain(k)]
     parts.append(
         f""",
         flen AS (SELECT word,

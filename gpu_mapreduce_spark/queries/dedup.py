@@ -183,9 +183,13 @@ _CLUSTER_ROUNDS = 12  # pair-graph diameter margin (components are dup stars
 # plus occasional coincidental bridges; 12 matches the cc_find_skew margin)
 
 
-def _cluster_oracle() -> str:
-    """Exact Jaccard pairs -> min-label rounds -> per-cluster summary: the
-    same replay chain shape as the cc oracles, over the dedup pair graph."""
+def cluster_cte_chain() -> str:
+    """WITH-clause prefix reconstructing the near-dup clusters over the
+    corpus fixture: exact Jaccard pairs -> min-label propagation rounds ->
+    l{_CLUSTER_ROUNDS} = (v, label) membership. Shared by dedup_clusters'
+    per-cluster summary and dedup_canonical_keep's survivor selection
+    (queries/dedup_canonical.py), so the clustering replay can never drift
+    between the two registrations."""
     parts = [
         f"{_C},",
         _SH_SQL,
@@ -217,13 +221,20 @@ def _cluster_oracle() -> str:
                 ) mn ON cur.v = mn.v
             )"""
         )
-    parts.append(
-        f"""SELECT label AS keep_id,
+    return "\n".join(parts)
+
+
+def _cluster_oracle() -> str:
+    """Exact Jaccard pairs -> min-label rounds -> per-cluster summary: the
+    same replay chain shape as the cc oracles, over the dedup pair graph."""
+    return (
+        cluster_cte_chain()
+        + f"""
+        SELECT label AS keep_id,
                CAST(COUNT(*) AS BIGINT) AS csize,
                md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY v)) AS members_digest
         FROM l{_CLUSTER_ROUNDS} GROUP BY label"""
     )
-    return "\n".join(parts)
 
 
 # Accepted residual oracle risk (documented, not fixed): the Spark side

@@ -30,13 +30,17 @@ _G2 = _sql_ngrams(2)
 _W = ts.CLF_W
 
 
-@register(
-    "quality_classifier_join",
-    bench=True,
-    tags=("llm", "textstats", "pipeline"),
-    oracle=f"""
-        WITH f AS (
-            SELECT doc_id, source,
+def clf_score_ctes(src: str, carry: tuple[str, ...] = ()) -> str:
+    """WITH-clause fragment replaying operators/textstats.classifier_scores
+    per document over `src`: CTEs f (exact integer features), u (fixed-point
+    ratio units), sc (doc_id [, carry...], n_tokens, score_u). Shared by
+    quality_classifier_join (src=documents, carry=('source',)) and
+    dedup_canonical_keep (src=corpus) so the score replay can never drift
+    between the two registrations."""
+    cols = "".join(f", {c}" for c in carry)
+    return f"""
+        f AS (
+            SELECT doc_id{cols},
                    CAST(len(toks) AS BIGINT) AS n_tokens,
                    CAST(len(list_filter(toks,
                         t -> lower(t) IN ({_inlist('en')}))) AS BIGINT) AS n_stop,
@@ -48,10 +52,10 @@ _W = ts.CLF_W
                         list_max(list_transform(list_distinct(toks),
                              x -> len(list_filter(toks, y -> y = x))))
                         ELSE 0 END AS BIGINT) AS top_cnt
-            FROM (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents)
+            FROM (SELECT doc_id{cols}, text, {_TOKS} AS toks FROM {src})
         ),
         u AS (
-            SELECT doc_id, source, n_tokens,
+            SELECT doc_id{cols}, n_tokens,
                    CASE WHEN n_tokens > 0
                         THEN ({ts.CLF_SCALE} * n_stop) // n_tokens
                         ELSE 0 END AS stop_u,
@@ -66,14 +70,22 @@ _W = ts.CLF_W
                         ELSE 0 END AS top_u
             FROM f
         ),
-        s AS (
-            SELECT source, n_tokens,
+        sc AS (
+            SELECT doc_id{cols}, n_tokens,
                    CAST({_W['stop_u']} * stop_u + {_W['uniq_u']} * uniq_u
                         + ({_W['dup2_u']}) * dup2_u + ({_W['top_u']}) * top_u
                         + {_W['len']} * least(n_tokens, {ts.CLF_LEN_CAP})
                         AS BIGINT) AS score_u
             FROM u
-        )
+        )"""
+
+
+@register(
+    "quality_classifier_join",
+    bench=True,
+    tags=("llm", "textstats", "pipeline"),
+    oracle=f"""
+        WITH {clf_score_ctes("documents", ("source",))}
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN score_u >= {ts.CLF_THRESHOLD}
@@ -83,7 +95,7 @@ _W = ts.CLF_W
                              THEN n_tokens ELSE 0 END) AS BIGINT)
                    AS kept_tokens,
                CAST(SUM(score_u) AS BIGINT) AS sum_score_u
-        FROM s GROUP BY source
+        FROM sc GROUP BY source
     """,
 )
 def quality_classifier_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -204,30 +204,40 @@ def _ivf_at_rest(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return fixtures.derived(spark, sf_dir, "ivf_at_rest", build)
 
 
-# SQL replay of ivf_build's deterministic cell assignment — the shared CTE
-# prefix of every IVF-cell-based oracle (ann_ivf_topk, ann_ivf_at_rest,
-# dedup_semantic): md5-hex-slice centroid sampling, nearest-centroid
-# assignment with ties toward the lower cid.
-IVF_ASSIGN_CTES = f"""
-        ranked AS (
+def ivf_assign_ctes(prefix: str = "", train_where: str = "") -> str:
+    """SQL replay of ivf_build's deterministic cell assignment: CTEs
+    {prefix}ranked / {prefix}centroids / {prefix}assigned — md5-hex-slice
+    centroid sampling (optionally over a `train_where`-filtered training
+    corpus: the frozen existing-trained quantizer of ann_index_append /
+    ivf_index_swap), nearest-centroid assignment of the FULL corpus with
+    ties toward the lower cid. `prefix` lets one oracle hold two quantizer
+    replays side by side (ivf_index_swap's old/new migration join)."""
+    p = prefix
+    return f"""
+        {p}ranked AS (
             SELECT vec_id, embedding,
                    row_number() OVER (ORDER BY
                        ('0x' || substr(md5('{_IVF_SEED}' || '|' ||
                                            CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                        vec_id) AS cid
-            FROM embeddings
+            FROM embeddings {train_where}
         ),
-        centroids AS (SELECT cid, embedding AS ce FROM ranked
+        {p}centroids AS (SELECT cid, embedding AS ce FROM {p}ranked
                       WHERE cid <= {_IVF_CENTROIDS}),
-        assigned AS (
+        {p}assigned AS (
             SELECT vec_id, embedding, cid FROM (
                 SELECT e.vec_id, e.embedding, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY {_qsim_sql("e.embedding", "c.ce")} DESC, c.cid)
                            AS rn
-                FROM embeddings e, centroids c
+                FROM embeddings e, {p}centroids c
             ) WHERE rn = 1
         )"""
+
+
+# The shared unprefixed instance: the CTE prefix of every full-corpus-trained
+# IVF oracle (ann_ivf_topk, ann_ivf_at_rest, dedup_semantic, ann_rerank).
+IVF_ASSIGN_CTES = ivf_assign_ctes()
 
 # Shared by ann_ivf_topk and ann_ivf_at_rest (queries/ann_at_rest.py): the
 # at-rest variant persists the cell assignment and probes it through a

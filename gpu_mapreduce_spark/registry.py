@@ -120,6 +120,10 @@ def load_all() -> dict[str, QueryDef]:
             ann_rerank,
             bpe,
             quality_classifier,
+            # r09 tail (same discipline)
+            bpe_encode,
+            dedup_canonical,
+            ivf_swap,
         )
 
         _loaded = True

@@ -140,6 +140,24 @@ def test_ivf_at_rest_index_scan_prunes_cells(spark, tmp_path):
         assert bad not in exec_plan, f"{bad} in pre-checkpoint plan:\n{exec_plan}"
 
 
+def test_ivf_swap_plan_never_touches_embedding(spark):
+    """ivf_index_swap's lean-shape contract (SCALE.md r09 design 3 /
+    VERDICT r08 item 5): the retrain-and-swap report reads only
+    (vec_id, cid) back from the two at-rest roots — the embedding payload
+    must appear NOWHERE in the plan (no scan column, no exchange), and
+    every parquet read must prune to the bare vec_id (cid is the partition
+    directory key)."""
+    from gpu_mapreduce_spark.queries.ivf_swap import ivf_index_swap
+
+    df = ivf_index_swap(spark, SF_DIR)
+    plan = _plan_of(df)
+    assert "embedding" not in plan, f"embedding leaked into the plan:\n{plan}"
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all(s == "struct<vec_id:bigint>" for s in schemas), (
+        f"unpruned at-rest scan:\n{plan}"
+    )
+
+
 def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
     """The date-partitioned read-back must prune by directory: the one-week
     predicate shows up as PartitionFilters on the scan (only the matching

@@ -48,9 +48,14 @@ this harness anchors them with a measured 10x point per heavy query:
     (pair volume N²/k: quadratic, N^1.5, linear — the cell-count
     scaling note).
 
+  * RELATIONAL tier (q5_region_revenue, q21_waiting_supplier,
+    q18_large_orders): the TPC-H fixtures scale WITH the driver's sf, so
+    the decade is simply sf0.01 vs sf0.1 on the registered queries — the
+    one tier that needs no synthetic replication at all.
+
 $SPARK_GRAFT_SCALE_REPS (default 10) sets the replication factor — REPS=100
-gives the second decade of the text-tier series (the graph tier is
-REPS-independent).
+gives the second decade of the text-tier series (the graph and rel tiers
+are REPS-independent).
 
 Per measurement: one untimed warm-up (absorbs memoized index/checkpoint
 builds, like bench.py), then two timed runs reporting the MIN, with
@@ -58,7 +63,7 @@ per-stage shuffle read/write and spill DELTAS summed from the Spark UI
 REST API across the timed runs (metrics are per-run-pair, halved for
 per-run figures). Run on an idle machine; total ~6-10 min.
 
-    python tools/scale_evidence.py [text|graph|all]   # one JSON to stdout
+    python tools/scale_evidence.py [text|graph|rel|emb|all]  # one JSON line
 
 Results are transcribed into SCALE.md's "Measured 10x scaling" table.
 """
@@ -376,6 +381,36 @@ def main() -> None:
         shutil.rmtree(idx, ignore_errors=True)
         return res
 
+    if tier in ("all", "graph"):
+        # restored r09: the r08 emb_suite insertion accidentally deleted
+        # this dispatch, leaving `graph` runs silently empty
+        out["graph"]["data_ratio"] = 8
+        out["graph"]["1x"] = graph_suite(16)   # 524,288 edges / 65,536 vertices
+        out["graph"]["8x"] = graph_suite(19)   # 4,194,304 edges / 524,288 vertices
+
+    if tier in ("all", "rel"):
+        # RELATIONAL tier (r09): the TPC-H fixtures scale WITH sf, so the
+        # honest decade is sf0.01 -> sf0.1 (10x rows in lineitem/orders) on
+        # the registered queries themselves — no synthetic replication
+        # needed. Queries chosen for shape coverage: q5 (6-table join
+        # cascade + broadcast dims), q21 (4-way self-join with anti/semi
+        # joins), q18 (group-filter semi-join over the largest table).
+        rel_q = ["q5_region_revenue", "q21_waiting_supplier", "q18_large_orders"]
+        sf_small = SF1X.replace("sf0.1", "sf0.01")
+        out["rel"] = {"data_ratio": 10}
+        for name in rel_q:
+            fn = qs[name].fn
+            out["rel"][name] = {
+                "1x": measure(
+                    spark, f"{name}@sf0.01",
+                    lambda: len(fn(spark, sf_small).collect()),
+                ),
+                "10x": measure(
+                    spark, f"{name}@sf0.1",
+                    lambda: len(fn(spark, SF1X).collect()),
+                ),
+            }
+
     if tier in ("all", "emb"):
         emb_path_10x = build_10x_embeddings(spark)
         out["emb"] = {
@@ -385,11 +420,24 @@ def main() -> None:
             f"{REPS}x_sqrtN": emb_suite(
                 emb_path_10x, round(16 * REPS ** 0.5), f"{REPS}x_sqrtN"
             ),
-            # k ~ N (pair volume ~ REPS — SemDeDup's constant-cell regime)
-            f"{REPS}x_linearK": emb_suite(
-                emb_path_10x, 16 * REPS, f"{REPS}x_linearK"
-            ),
         }
+        if REPS <= 10:
+            # k ~ N (pair volume ~ REPS — SemDeDup's constant-cell regime):
+            # affordable at the first decade only. At REPS=100 (k=1600) the
+            # untimed index BUILD is N*k = 5e9 exact sims — the r08 run's
+            # >40-min single-point DNF; the interesting per-point law
+            # (probe ~ nprobe*N/k, pairs ~ N²/k) is already pinned by the
+            # 1x/sqrtN series, so the second-decade point is extrapolation,
+            # not evidence worth hours of compute
+            out["emb"][f"{REPS}x_linearK"] = emb_suite(
+                emb_path_10x, 16 * REPS, f"{REPS}x_linearK"
+            )
+        else:
+            print(
+                f"# emb: skipping {REPS}x_linearK (k={16 * REPS}: N*k build"
+                " is the r08 DNF regime; law pinned at REPS<=10)",
+                file=sys.stderr,
+            )
         if REPS <= 10:
             # the quadratic tradeoff point (k frozen, pair volume ~ REPS²)
             # is only affordable at the first decade: at REPS=100 it is
