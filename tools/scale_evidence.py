@@ -323,7 +323,17 @@ def main() -> None:
 
         from gpu_mapreduce_spark.operators import similarity
 
-        emb = spark.read.parquet(emb_path)
+        # widen off the single-file input splits BEFORE the index build:
+        # ivf_assign is a scan projection since r09, so without the
+        # repartition its k-per-row scoring runs at input-split parallelism
+        # (13 tasks for the 100x file) and one JIT-excursion task straggles
+        # the untimed build for tens of minutes (the r07 deopt-storm class —
+        # smaller tasks bound the excursion's blast radius)
+        emb = (
+            spark.read.parquet(emb_path)
+            .repartition(4 * spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
         n = emb.count()
         centroids, assigned = similarity.ivf_build(
             emb, n_centroids=n_centroids, seed=11
