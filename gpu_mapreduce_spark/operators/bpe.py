@@ -138,6 +138,19 @@ def bpe_train(
     return merges, words, docw
 
 
+def _encoded_vocab(toks: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word, s): the distinct-word table with every trained merge applied
+    in order — vocab-sized, K chained rewrites in one lineage, no driver
+    round-trips (the pairs are already known). Shared by the per-doc
+    encoders (encode_with_merges, fertility_units)."""
+    vocab = toks.select("word").distinct().select(
+        "word", F.regexp_replace("word", "(.)", " $1").alias("s")
+    )
+    for a, b in merges:
+        vocab = apply_merge(vocab, a, b)
+    return vocab
+
+
 def encode_with_merges(
     docs: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
@@ -165,13 +178,8 @@ def encode_with_merges(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
         ).alias("pos", "word"),
     )
-    vocab = toks.select("word").distinct().select(
-        "word", F.regexp_replace("word", "(.)", " $1").alias("s")
-    )
-    for a, b in merges:
-        vocab = apply_merge(vocab, a, b)
     # bcast-audit: bounded (vocab table)
-    enc = toks.join(F.broadcast(vocab), "word")
+    enc = toks.join(F.broadcast(_encoded_vocab(toks, merges)), "word")
     tok_len = (
         F.length("s") - F.length(F.translate("s", " ", ""))
     ).cast("bigint")
@@ -191,6 +199,64 @@ def encode_with_merges(
             ).alias("tokens_digest"),
         )
     )
+
+
+def fertility_units(
+    docs: DataFrame, merges: list[tuple[str, str]], carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Tokenizer fertility per document (SCALE.md r10 design 3, staged
+    ahead of its registration): (doc_id [, carry...], n_words,
+    n_tokens_bpe, fert_u) with fert_u = (10000 * n_tokens_bpe) div n_words
+    — exact fixed-point tokens-per-word, THE tokenizer-quality number a
+    pipeline tracks per source/language (fertility near 1 = the vocab fits
+    the corpus; high fertility = over-fragmentation). Same topology as
+    encode_with_merges: one corpus token pass, one broadcast vocab join,
+    one doc-keyed aggregate. Documents with no tokens emit no row (their
+    fertility is undefined)."""
+    toks = docs.select(
+        "doc_id",
+        *carry,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("word"),
+    )
+    # bcast-audit: bounded (vocab table)
+    enc = toks.join(F.broadcast(_encoded_vocab(toks, merges)), "word")
+    n_sym = (F.length("s") - F.length(F.translate("s", " ", ""))).cast("bigint")
+    return (
+        enc.select("doc_id", *carry, n_sym.alias("n"))
+        .groupBy("doc_id", *carry)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n").cast("bigint").alias("n_tokens_bpe"),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            "n_words",
+            "n_tokens_bpe",
+            F.expr("(10000 * n_tokens_bpe) div n_words").alias("fert_u"),
+        )
+    )
+
+
+def merge_diff(
+    old: list[tuple[str, str]], new: list[tuple[str, str]]
+) -> list[tuple[int, str, str, int]]:
+    """Merge-table drift between two trained BPE vocabularies (SCALE.md
+    r10 design 2, staged): one row per step,
+    (step, old_token, new_token, old_rank_in_new) where old_rank_in_new is
+    the old token's 1-based position in the new merge list (-1 if it was
+    trained out) — the tokenizer analog of ivf_index_swap's migration
+    histogram. Pure driver-side: merge lists are K-row artifacts (the
+    pagerank scalar discipline); '' marks steps past a list's early stop."""
+    new_rank = {a + b: i + 1 for i, (a, b) in enumerate(new)}
+    out = []
+    for i in range(max(len(old), len(new))):
+        ot = old[i][0] + old[i][1] if i < len(old) else ""
+        nt = new[i][0] + new[i][1] if i < len(new) else ""
+        out.append((i + 1, ot, nt, new_rank.get(ot, -1) if ot else -1))
+    return out
 
 
 def doc_token_counts(docw: DataFrame, words: DataFrame) -> DataFrame:

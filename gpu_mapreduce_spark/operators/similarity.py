@@ -600,6 +600,35 @@ def assignment_migration(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact baseline
+    (SCALE.md r10 design 1, staged ahead of its registration): per query,
+    hits = |approx ∩ exact| on (qid, vec_id), recall in exact fixed-point
+    units recall_u = (10000 * hits) div k — the index-quality metric a
+    vector store publishes per build/retrain to tune nprobe and decide a
+    swap. Queries the approximate path missed entirely still report
+    (qid, 0, 0) via the left join from the exact side's qid set.
+
+    Both inputs are bounded (≤ k rows per query by construction — this is
+    an evaluation harness over the standard query set, not a serving
+    path), so every stage is a small equi-join/aggregate; at 100 TB the
+    exact side comes from the one brute-force pass the evaluation
+    schedules, never from serving traffic."""
+    a = approx.select("qid", "vec_id")
+    e = exact.select("qid", "vec_id")
+    hits = a.join(e, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    base = e.select("qid").distinct()
+    return base.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(
+            f"(10000 * CAST(coalesce(n_hits, 0) AS BIGINT)) div {int(k)}"
+        ).alias("recall_u"),
+    )
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column — the
     4x compression step a vector store applies before indexing at corpus

@@ -210,3 +210,41 @@ def test_encode_with_merges_matches_model_and_training_counts(spark):
         r.doc_id: r.cnt for r in bpe.doc_token_counts(docw, words).collect()
     }
     assert {d: c for d, (c, _) in got.items()} == train_counts
+
+
+def test_fertility_units_matches_model(spark):
+    """fertility_units must agree with the pure-Python encode model:
+    n_words = token count, n_tokens_bpe = encode length, fert_u the exact
+    fixed-point division; token-less docs emit nothing."""
+    docs = {0: "abab abab cc", 1: "a", 2: "...", 3: "aaaa bb aaaa"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    merges4, _w, _d = bpe.bpe_train(spark, df, 3)
+    merges = [(a, b) for (_, a, b, _) in merges4]
+    enc = model_encode(docs, merges)
+    want = {}
+    for d, t in docs.items():
+        words = re.findall(bpe.WORD_RE, t.lower())
+        if words:
+            n_tok = enc[d][0]
+            want[d] = (len(words), n_tok, (10000 * n_tok) // len(words))
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe, r.fert_u)
+        for r in bpe.fertility_units(df, merges).collect()
+    }
+    assert got == want
+
+
+def test_merge_diff_ranks():
+    old = [("a", "b"), ("c", "d"), ("ab", "c")]
+    new = [("c", "d"), ("a", "b"), ("x", "y")]
+    assert bpe.merge_diff(old, new) == [
+        (1, "ab", "cd", 2),
+        (2, "cd", "ab", 1),
+        (3, "abc", "xy", -1),
+    ]
+    # early-stopped new list: steps past its end read '' / rank -1
+    assert bpe.merge_diff(old, old[:1]) == [
+        (1, "ab", "ab", 1),
+        (2, "cd", "", -1),
+        (3, "abc", "", -1),
+    ]

@@ -197,3 +197,28 @@ def test_assignment_migration_histogram(spark):
         for r in similarity.assignment_migration(old, old).collect()
     }
     assert all(o == n for (o, n) in same) and sum(same.values()) == 5
+
+
+def test_recall_at_k_model(spark):
+    """recall_at_k: exact-vs-itself is 10000 for every query; a constructed
+    approximate result reports the known per-qid hit counts, including the
+    all-missed query via the exact-side left join."""
+    from gpu_mapreduce_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [(q, v) for q in (1, 2, 3) for v in (10, 11, 12, 13)],
+        "qid bigint, vec_id bigint",
+    )
+    assert {
+        (r.qid, r.n_hits, r.recall_u)
+        for r in similarity.recall_at_k(exact, exact, 4).collect()
+    } == {(1, 4, 10000), (2, 4, 10000), (3, 4, 10000)}
+    approx = spark.createDataFrame(
+        # q1: 3/4 hit; q2: 1/4 (plus 3 non-hits); q3: absent entirely
+        [(1, 10), (1, 11), (1, 12), (1, 99), (2, 13), (2, 97), (2, 98), (2, 99)],
+        "qid bigint, vec_id bigint",
+    )
+    assert {
+        (r.qid, r.n_hits, r.recall_u)
+        for r in similarity.recall_at_k(approx, exact, 4).collect()
+    } == {(1, 3, 7500), (2, 1, 2500), (3, 0, 0)}
