@@ -249,13 +249,24 @@ def merge_diff(
     the old token's 1-based position in the new merge list (-1 if it was
     trained out) — the tokenizer analog of ivf_index_swap's migration
     histogram. Pure driver-side: merge lists are K-row artifacts (the
-    pagerank scalar discipline); '' marks steps past a list's early stop."""
-    new_rank = {a + b: i + 1 for i, (a, b) in enumerate(new)}
+    pagerank scalar discipline); '' marks steps past a list's early stop.
+
+    Ranks compare the merge PAIR (a, b), not the concatenated token:
+    distinct pairs can concatenate to the same string (('a','bc') vs
+    ('ab','c') → 'abc') yet apply different rewrite rules, so a
+    token-keyed rank would report a survived merge that was actually
+    retrained. Valid merge tables have distinct pairs (a merged pair no
+    longer exists to re-merge); if a malformed list repeats one, the
+    first occurrence's rank wins."""
+    new_rank: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(new):
+        new_rank.setdefault(pair, i + 1)
     out = []
     for i in range(max(len(old), len(new))):
         ot = old[i][0] + old[i][1] if i < len(old) else ""
         nt = new[i][0] + new[i][1] if i < len(new) else ""
-        out.append((i + 1, ot, nt, new_rank.get(ot, -1) if ot else -1))
+        rank = new_rank.get(old[i], -1) if i < len(old) else -1
+        out.append((i + 1, ot, nt, rank))
     return out
 
 

@@ -298,7 +298,13 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     never leaves its row. Split from ivf_build so incremental index
     maintenance can route a delta batch into the EXISTING coarse
     quantizer's cells (the FAISS `IndexIVF.add` semantics — append never
-    re-clusters) exactly as the initial build assigned the base corpus."""
+    re-clusters) exactly as the initial build assigned the base corpus.
+
+    Contract: emits one row PER INPUT ROW (a projection). The pre-r09
+    groupBy('vec_id') argmax incidentally deduplicated repeated vec_ids;
+    callers feeding a delta that may repeat vec_ids must dedup upstream
+    or the index inventory double-counts (every in-repo caller passes
+    unique vec_ids by construction)."""
     rows = [
         (r["cid"], list(r["ce"]))
         for r in centroids.select("cid", "ce").collect()  # bounded: k rows
@@ -613,9 +619,15 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     an evaluation harness over the standard query set, not a serving
     path), so every stage is a small equi-join/aggregate; at 100 TB the
     exact side comes from the one brute-force pass the evaluation
-    schedules, never from serving traffic."""
-    a = approx.select("qid", "vec_id")
-    e = exact.select("qid", "vec_id")
+    schedules, never from serving traffic. Both projections are
+    deduplicated on (qid, vec_id) before the intersection join — an
+    approx result assembled from multi-probe unions may repeat a
+    candidate, and a repeated pair must count one hit, never multiply
+    through the join past n_hits > k."""
+    if k <= 0:
+        raise ValueError(f"recall_at_k requires k >= 1, got {k}")
+    a = approx.select("qid", "vec_id").distinct()
+    e = exact.select("qid", "vec_id").distinct()
     hits = a.join(e, ["qid", "vec_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
     )

@@ -37,7 +37,7 @@ from gpu_mapreduce_spark.queries.similarity import (
     _AT_REST_SCHEMA,
     _IVF_CENTROIDS,
     _IVF_SEED,
-    _qsim_sql,
+    ivf_assign_ctes,
 )
 from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources import fixtures
@@ -62,7 +62,6 @@ def _ivf_existing_at_rest(spark: SparkSession, sf_dir: str):
         centroids, assigned = similarity.ivf_build(
             existing, n_centroids=_IVF_CENTROIDS, seed=_IVF_SEED
         )
-        centroids = centroids.localCheckpoint(eager=True)
         path = tempfile.mkdtemp(prefix="ivf_base_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
@@ -76,25 +75,7 @@ def _ivf_existing_at_rest(spark: SparkSession, sf_dir: str):
     bench=True,
     tags=("llm", "similarity", "sources", "incremental"),
     oracle=f"""
-        WITH ranked AS (
-            SELECT vec_id, embedding,
-                   row_number() OVER (ORDER BY
-                       ('0x' || substr(md5('{_IVF_SEED}' || '|' ||
-                                           CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-                       vec_id) AS cid
-            FROM embeddings WHERE vec_id % {_MOD} <> {_REM}
-        ),
-        centroids AS (SELECT cid, embedding AS ce FROM ranked
-                      WHERE cid <= {_IVF_CENTROIDS}),
-        assigned AS (
-            SELECT vec_id, cid FROM (
-                SELECT e.vec_id, c.cid,
-                       row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY {_qsim_sql("e.embedding", "c.ce")} DESC, c.cid)
-                           AS rn
-                FROM embeddings e, centroids c
-            ) WHERE rn = 1
-        )
+        WITH {ivf_assign_ctes("", f"WHERE vec_id % {_MOD} <> {_REM}")}
         SELECT CAST(cid AS INT) AS cid,
                CAST(COUNT(*) AS BIGINT) AS n_vecs,
                CAST(COUNT(*) FILTER (WHERE vec_id % {_MOD} = {_REM})

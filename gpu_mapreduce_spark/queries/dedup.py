@@ -237,6 +237,33 @@ def _cluster_oracle() -> str:
     )
 
 
+def cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized near-dup cluster membership (cluster, doc_id) —
+    MinHash-LSH pairs verified to J >= 0.8, connected components over the
+    pair graph, eagerly checkpointed. In a production pipeline the cluster
+    map is an at-rest table the dedup tier already wrote; the memo makes
+    each consumer's steady-state cost its own join/aggregate, with the
+    discovery cost landing once per session on whichever consumer warms it
+    up. Shared by dedup_clusters and dedup_canonical_keep
+    (queries/dedup_canonical.py) so the threshold/composition lives in
+    exactly one place."""
+
+    def build() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from gpu_mapreduce_spark.operators import graph_iter
+
+        corpus = fixtures.corpus(spark, sf_dir)
+        pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.8)
+        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        cc, _rounds = graph_iter.cc_find(edges)
+        return cc.select(
+            F.col("zone").alias("cluster"), F.col("v").alias("doc_id")
+        ).localCheckpoint(eager=True)
+
+    return fixtures.derived(spark, sf_dir, "dedup_cluster_members", build)
+
+
 # Accepted residual oracle risk (documented, not fixed): the Spark side
 # clusters LSH-derived candidate pairs while the oracle clusters EXACT
 # all-pairs Jaccard >= 0.8 edges. Per-pair banding recall at J = 0.8 is
@@ -259,20 +286,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair graph — transitive closure, so A~B~C collapses to ONE cluster
     even when A~C alone is below threshold — and canonical doc = min doc_id
     (exactly the label min-propagation converges to). Composition of two
-    already-verified operators (dedup.minhash_lsh_pairs + graph_iter.cc_find);
-    per-cluster member digest proves full membership byte-for-byte.
-    Scale shape: pair volume ≪ corpus (LSH-bounded), the cc loop runs on the
-    pair graph only — never the corpus."""
+    already-verified operators (dedup.minhash_lsh_pairs + graph_iter.cc_find)
+    through the shared cluster_members session memo (also consumed by
+    dedup_canonical_keep); per-cluster member digest proves full membership
+    byte-for-byte. Scale shape: pair volume ≪ corpus (LSH-bounded), the cc
+    loop runs on the pair graph only — never the corpus."""
     from pyspark.sql import functions as F
 
-    from gpu_mapreduce_spark.operators import graph_iter
-
-    pairs = dedup.minhash_lsh_pairs(fixtures.corpus(spark, sf_dir), threshold=0.8)
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    cc, _rounds = graph_iter.cc_find(edges)
-    return cc.groupBy("zone").agg(
+    members = cluster_members(spark, sf_dir)
+    return members.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("csize"),
         F.md5(
-            F.concat_ws(",", F.sort_array(F.collect_list("v")).cast("array<string>"))
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            )
         ).alias("members_digest"),
-    ).select(F.col("zone").alias("keep_id"), "csize", "members_digest")
+    ).select(F.col("cluster").alias("keep_id"), "csize", "members_digest")

@@ -31,35 +31,17 @@ recall 1 - 1.2e-7)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from gpu_mapreduce_spark.operators import dedup, graph_iter
+from gpu_mapreduce_spark.operators import dedup
 from gpu_mapreduce_spark.operators import textstats as ts
-from gpu_mapreduce_spark.queries.dedup import _CLUSTER_ROUNDS, cluster_cte_chain
+from gpu_mapreduce_spark.queries.dedup import (
+    _CLUSTER_ROUNDS,
+    cluster_cte_chain,
+    cluster_members,
+)
 from gpu_mapreduce_spark.queries.quality_classifier import clf_score_ctes
 from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources import fixtures
-
-
-def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized near-dup cluster membership (cluster, doc_id) —
-    MinHash-LSH pairs verified to J >= 0.8, connected components over the
-    pair graph (dedup_clusters' composition), eagerly checkpointed. In a
-    production pipeline the cluster map is an at-rest table the dedup tier
-    already wrote; the memo makes the survivor query's steady-state cost
-    the join+argmax it claims, with the discovery cost landing once per
-    session on whichever consumer warms it up."""
-
-    def build() -> DataFrame:
-        corpus = fixtures.corpus(spark, sf_dir)
-        pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.8)
-        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        cc, _rounds = graph_iter.cc_find(edges)
-        return cc.select(
-            F.col("zone").alias("cluster"), F.col("v").alias("doc_id")
-        ).localCheckpoint(eager=True)
-
-    return fixtures.derived(spark, sf_dir, "dedup_cluster_members", build)
 
 
 @register(
@@ -89,7 +71,7 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone), so the output also proves the survivor DIFFERS from the naive
     min-id rule wherever a higher-quality later copy exists."""
     corpus = fixtures.corpus(spark, sf_dir)
-    members = _cluster_members(spark, sf_dir)
+    members = cluster_members(spark, sf_dir)
     # score only the clustered docs: the members table is dedup-bounded
     # (pair-graph vertices << corpus), so the equi-join prunes the corpus
     # BEFORE the compute-bound tokenization (AQE broadcasts the small

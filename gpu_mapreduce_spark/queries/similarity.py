@@ -164,10 +164,8 @@ def _ivf_index(
             n_centroids=_IVF_CENTROIDS,
             seed=_IVF_SEED,
         )
-        return (
-            centroids.localCheckpoint(eager=True),
-            assigned.localCheckpoint(eager=True),
-        )
+        # centroids arrive already eagerly checkpointed by ivf_build
+        return centroids, assigned.localCheckpoint(eager=True)
 
     return fixtures.derived(spark, sf_dir, "ivf_index", build)
 

@@ -248,3 +248,14 @@ def test_merge_diff_ranks():
         (2, "cd", "", -1),
         (3, "abc", "", -1),
     ]
+    # ranks key on the merge PAIR: ('a','bc') and ('ab','c') both
+    # concatenate to 'abc' but are DIFFERENT rewrite rules — the old merge
+    # is retrained (rank -1), not survived
+    assert bpe.merge_diff([("a", "bc")], [("ab", "c")]) == [
+        (1, "abc", "abc", -1)
+    ]
+    # a malformed new list repeating one pair keeps the first rank
+    assert bpe.merge_diff([("a", "b")], [("a", "b"), ("a", "b")]) == [
+        (1, "ab", "ab", 1),
+        (2, "", "ab", -1),
+    ]

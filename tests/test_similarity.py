@@ -222,3 +222,14 @@ def test_recall_at_k_model(spark):
         (r.qid, r.n_hits, r.recall_u)
         for r in similarity.recall_at_k(approx, exact, 4).collect()
     } == {(1, 3, 7500), (2, 1, 2500), (3, 0, 0)}
+    # repeated (qid, vec_id) rows — a multi-probe union without dedup —
+    # count ONE hit each, never multiplying through the intersection join
+    dup_approx = approx.unionByName(approx).unionByName(approx)
+    assert {
+        (r.qid, r.n_hits, r.recall_u)
+        for r in similarity.recall_at_k(dup_approx, exact, 4).collect()
+    } == {(1, 3, 7500), (2, 1, 2500), (3, 0, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        similarity.recall_at_k(approx, exact, 0)

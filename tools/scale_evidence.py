@@ -338,7 +338,6 @@ def main() -> None:
         centroids, assigned = similarity.ivf_build(
             emb, n_centroids=n_centroids, seed=11
         )
-        centroids = centroids.localCheckpoint(eager=True)
         cells = assigned.localCheckpoint(eager=True)
         idx = tempfile.mkdtemp(prefix=f"scale_ivf_{label}_")
         cells.write.mode("overwrite").partitionBy("cid").parquet(idx)
@@ -370,7 +369,6 @@ def main() -> None:
         ex_centroids, _ = similarity.ivf_build(
             existing, n_centroids=n_centroids, seed=11
         )
-        ex_centroids = ex_centroids.localCheckpoint(eager=True)
         delta = emb.filter(F.col("vec_id") % 8 == 7).localCheckpoint(eager=True)
 
         def append() -> int:
