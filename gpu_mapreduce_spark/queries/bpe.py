@@ -27,30 +27,65 @@ from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources.tables import table
 
 
-def bpe_cte_chain(k: int) -> str:
+def _rewrite_cte(out: str, src: str, b: str) -> str:
+    """One merge-rewrite CTE body: `{out}` = the word states of `{src}`
+    with the single merge in `{b}` applied greedily left-to-right
+    non-overlapping (the operators/bpe.apply_merge fold, replayed with
+    DuckDB's list_reduce). LEFT JOIN ON TRUE so an exhausted corpus (empty
+    `{b}`) degrades to the identity rewrite instead of an empty vocab:
+    ends_with(acc, ' ' || NULL) is NULL, the CASE falls to its ELSE arm,
+    and the fold copies the state unchanged — matching bpe_train's early
+    stop with the merges found so far."""
+    return f"""
+        {out} AS (
+            SELECT word, wt,
+                   list_reduce(
+                       list_transform(string_split(s, ' ')[2:],
+                                      t -> ' ' || t),
+                       (acc, x) -> CASE WHEN ends_with(acc, ' ' || {b}.a)
+                                         AND x = ' ' || {b}.b
+                                        THEN acc || {b}.b
+                                        ELSE acc || x END) AS s
+            FROM {src} LEFT JOIN {b} ON TRUE
+        )"""
+
+
+def bpe_cte_chain(
+    k: int, prefix: str = "", train_where: str = "", with_clause: bool = True
+) -> str:
     """The shared WITH-clause prefix replaying k BPE merge rounds: word
-    tables (tok/docw/w0) plus per-round (p{{r}}, b{{r}}, w{{r}}) CTEs.
-    Ends after w{{k}} — callers append their own final CTEs/SELECT
-    (bpe_merge_steps pins the merge table + doc counts; bpe_encode_corpus
-    in queries/bpe_encode.py re-encodes every document against w{{k}})."""
+    tables ({{p}}tok/{{p}}docw/{{p}}w0) plus per-round ({{p}}p{{r}},
+    {{p}}b{{r}}, {{p}}w{{r}}) CTEs. Ends after {{p}}w{{k}} — callers
+    append their own final CTEs/SELECT (bpe_merge_steps pins the merge
+    table + doc counts; bpe_encode_corpus in queries/bpe_encode.py
+    re-encodes every document against w{{k}}).
+
+    `prefix` lets one oracle hold two tokenizer replays side by side and
+    `train_where` restricts the TRAINING corpus (tokenizer_swap's
+    old-vocab chain: trained on the existing shard split, diffed against
+    the full-corpus retrain) — the ivf_assign_ctes prefix discipline.
+    `with_clause=False` drops the leading WITH so a second chain can be
+    comma-appended to an open WITH list."""
+    p = prefix
+    lead = "WITH " if with_clause else ""
     parts = [
         f"""
-        WITH tok AS (
+        {lead}{p}tok AS (
             SELECT doc_id,
                    unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}'))
                        AS word
-            FROM documents
+            FROM documents {train_where}
         ),
-        docw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
-                 FROM tok GROUP BY doc_id, word),
-        w0 AS (SELECT word, CAST(SUM(n) AS BIGINT) AS wt,
+        {p}docw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM {p}tok GROUP BY doc_id, word),
+        {p}w0 AS (SELECT word, CAST(SUM(n) AS BIGINT) AS wt,
                       regexp_replace(word, '(.)', ' \\1', 'g') AS s
-               FROM docw GROUP BY word)"""
+               FROM {p}docw GROUP BY word)"""
     ]
     for r in range(1, k + 1):
         parts.append(
             f""",
-        p{r} AS (
+        {p}p{r} AS (
             SELECT pr.a AS a, pr.b AS b, CAST(SUM(wt) AS BIGINT) AS cnt
             FROM (
                 SELECT wt,
@@ -58,27 +93,26 @@ def bpe_cte_chain(k: int) -> str:
                            range(2, len(string_split(s, ' '))),
                            i -> {{'a': string_split(s, ' ')[i],
                                   'b': string_split(s, ' ')[i + 1]}})) AS pr
-                FROM w{r - 1}
+                FROM {p}w{r - 1}
             ) GROUP BY pr.a, pr.b
         ),
-        b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
-        w{r} AS (
-            -- LEFT JOIN ON TRUE so an exhausted corpus (empty b{r})
-            -- degrades to the identity rewrite instead of an empty vocab:
-            -- ends_with(acc, ' ' || NULL) is NULL, the CASE falls to its
-            -- ELSE arm, and the fold copies the state unchanged — matching
-            -- bpe_train's early stop with the merges found so far
-            SELECT word, wt,
-                   list_reduce(
-                       list_transform(string_split(s, ' ')[2:],
-                                      t -> ' ' || t),
-                       (acc, x) -> CASE WHEN ends_with(acc, ' ' || b{r}.a)
-                                         AND x = ' ' || b{r}.b
-                                        THEN acc || b{r}.b
-                                        ELSE acc || x END) AS s
-            FROM w{r - 1} LEFT JOIN b{r} ON TRUE
-        )"""
+        {p}b{r} AS (SELECT a, b, cnt FROM {p}p{r}
+                    ORDER BY cnt DESC, a, b LIMIT 1),{_rewrite_cte(f"{p}w{r}", f"{p}w{r - 1}", f"{p}b{r}")}"""
         )
+    return "".join(parts)
+
+
+def bpe_rewrite_chain(k: int, out_prefix: str, src_w0: str, b_prefix: str) -> str:
+    """Comma-separated rewrite-only chain {out_prefix}w1..{out_prefix}w{k}:
+    fold the ALREADY-SELECTED merges {b_prefix}b1..{b_prefix}b{k} over the
+    word table `src_w0`, in training order, with no pair re-counting — the
+    SQL replay of operators/bpe._encoded_vocab applying a foreign merge
+    list (tokenizer_swap encodes the FULL corpus under the subset-trained
+    old vocab, so the rewrite source and the training corpus differ)."""
+    parts = []
+    for r in range(1, k + 1):
+        src = src_w0 if r == 1 else f"{out_prefix}w{r - 1}"
+        parts.append("," + _rewrite_cte(f"{out_prefix}w{r}", src, f"{b_prefix}b{r}"))
     return "".join(parts)
 
 

@@ -124,6 +124,11 @@ def load_all() -> dict[str, QueryDef]:
             bpe_encode,
             dedup_canonical,
             ivf_swap,
+            # r09 tail, second wave (the SCALE.md r10 designs landed
+            # early; still new-modules-at-the-END)
+            ann_recall,
+            tokenizer_swap,
+            fertility,
         )
 
         _loaded = True

@@ -39,6 +39,9 @@ _QUERIES = load_all()
 # measured against (operators/similarity.py docstrings).
 ALLOWED_BNLJ = {
     "ann_bruteforce_topk": "corpus x broadcast 8-row query set (exact baseline)",
+    "ann_recall_report": "the evaluation's exact side IS the deliberate "
+    "brute-force pass (corpus x broadcast bounded query set); the approx "
+    "side stays directory-pruned",
     "ann_ivf_topk": "query set x broadcast centroid table (probe ranking; "
     "the cell assignment itself is a scan projection since r09)",
     # guarded: dup_pairs refuses corpora above DUP_PAIRS_MAX_ROWS (see
