@@ -791,3 +791,241 @@ def power_iteration_top_direction(
         .cast("long")
         .alias("vu"),
     ).orderBy("j")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the vector-store compression/serving tier
+# (builder brief "beyond-reference" §similarity; SCALE.md r10 design,
+# second set). The corpus is encoded as PQ_M one-byte codes per vector
+# (PQ_M * log2(PQ_KS) bits = 8 bytes vs 256 for the float64-dim payload, a
+# 32x index compression) and queries scan the CODES with per-subspace
+# lookup tables (ADC — asymmetric distance computation), never touching
+# the embedding payload. Reference parity: none (the reference ships no
+# vector index); the sample-train discipline follows ivf_build's
+# hash-sampled quantizer and the r08 100x lesson (never cluster all N).
+
+PQ_M = 8  # subspaces (EMB_DIM / PQ_SUB)
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_KS = 16  # codewords per subspace codebook
+PQ_TRAIN = 1024  # bounded training sample (the sample-train discipline)
+PQ_SEED = 23
+
+
+def _qsq_e6(a: Column, b: Column) -> Column:
+    """Quantized squared L2 distance floor(1e6 * sum((a_i - b_i)^2)) as
+    BIGINT — per-element double arithmetic, left-to-right fold (the _dot
+    discipline), so DuckDB's list_sum replays it bit-for-bit."""
+    return F.floor(
+        F.lit(1e6)
+        * F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    ).cast("bigint")
+
+
+def _qdot_e6(a: Column, b: Column) -> Column:
+    """Quantized inner product floor(1e6 * sum(a_i * b_i)) as BIGINT —
+    same fold discipline as _qsq_e6."""
+    return F.floor(F.lit(1e6) * _dot(a, b)).cast("bigint")
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m_sub: int = PQ_M,
+    ks: int = PQ_KS,
+    seed: int = PQ_SEED,
+    train_n: int = PQ_TRAIN,
+) -> DataFrame:
+    """PQ codebook training: (m, code, cw) with cw the m-th subvector of a
+    hash-sampled training vector. Two-stage sampling, both portable
+    md5-rank picks DuckDB replays verbatim:
+      1. ONE corpus pass takes the train_n lowest hash(seed|vec_id) rows
+         (TakeOrderedAndProject — per-partition top-n, never a global
+         sort; the sample-train discipline ivf_build shares: at 100 TB
+         the quantizer NEVER trains on all N).
+      2. Per subspace m, the ks lowest hash(seed|m|vec_id) training rows
+         become codewords 1..ks (a partitioned window over the BOUNDED
+         train_n * m_sub exploded table — thousands of rows, not corpus).
+    Codewords are copied subvectors (zero arithmetic), so the pick is
+    exactly replayable; a production build would k-means-refine each
+    codebook from the same sample without changing any consumer."""
+    th = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("vec_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    train = (
+        embeddings.select("vec_id", "embedding", th.alias("_th"))
+        .orderBy("_th", "vec_id")
+        .limit(train_n)
+        .localCheckpoint(eager=True)
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m")
+    mh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(seed)), F.col("m"), F.col("vec_id")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("m").orderBy("_mh", "vec_id")
+    sub = EMB_DIM // m_sub
+    return (
+        train.select("vec_id", "embedding", ms)
+        .select("m", "vec_id", "embedding", mh.alias("_mh"))
+        .withColumn("code", F.row_number().over(w))
+        .filter(F.col("code") <= ks)
+        .select(
+            "m",
+            "code",
+            F.expr(f"slice(embedding, m * {sub} + 1, {sub})").alias("cw"),
+        )
+    )
+
+
+def _books_rows(
+    codebooks: DataFrame,
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Collect the bounded codebook table (m_sub * ks rows — the centroid
+    bounded-scalar discipline) as {m: [(code, cw), ...] code-ascending}."""
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        books.setdefault(int(r["m"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cw"]])
+        )
+    for rows in books.values():
+        rows.sort()
+    return books
+
+
+def _nearest_code(
+    sub: Column, book: list[tuple[int, list[float]]]
+) -> Column:
+    """Winning code for one subvector against a FROZEN codebook (argmin
+    quantized squared L2, ties -> lower code): the nearest_cid literal-fold
+    discipline — the argmin runs inside the scan projection, the payload
+    never enters an exchange."""
+    bmat = F.array(
+        *[
+            F.struct(
+                F.lit(code).cast("int").alias("code"),
+                F.lit(cw).alias("cw"),
+            )
+            for code, cw in book
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            bmat,
+            lambda c: F.struct(
+                (-_qsq_e6(sub, c["cw"])).alias("nd"),
+                (-c["code"]).alias("ncode"),
+            ),
+        )
+    )
+    return (-best["ncode"]).cast("int")
+
+
+def pq_encode(
+    embeddings: DataFrame, books: dict[int, list[tuple[int, list[float]]]]
+) -> DataFrame:
+    """PQ encoding: (vec_id, codes ARRAY<INT>) with codes[m+1] the 1-based
+    nearest codeword of subspace m — one scan-shaped projection (m_sub
+    literal-fold argmins per row, zero shuffles, zero joins; the
+    ivf_assign lean shape). This IS the at-rest PQ index: 8 ints per
+    vector in place of the 64-float payload."""
+    sub = len(next(iter(books.values()))[0][1])
+    codes = F.array(
+        *[
+            _nearest_code(
+                F.expr(f"slice(embedding, {m * sub + 1}, {sub})"),
+                books[m],
+            )
+            for m in sorted(books)
+        ]
+    )
+    return embeddings.select("vec_id", codes.alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: dict[int, list[tuple[int, list[float]]]],
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: score every encoded vector against each query with
+    per-subspace lookup tables and rank (score_e6 DESC, vec_id), excluding
+    self-matches. Output (qid, vec_id, score_e6) where score_e6 =
+    sum_m floor(1e6 * <q_sub_m, codeword(codes[m])>) — the asymmetric
+    inner-product approximation every PQ store serves with.
+
+    Topology: the LUT column is built per query row from the frozen
+    codebook literals (m_sub * ks quantized dots — bounded work on a
+    bounded query set), then ONE scan over the CODES table (broadcast
+    query side; the cosine_topk scan-and-score shape, but over 8-int codes
+    instead of 64-float payloads) folds codes against LUTs with zip_with +
+    element_at. At 100 TB this is why stores PQ-compress: the serving scan
+    reads 32x fewer bytes and does m_sub integer lookups per row instead
+    of d multiply-adds; the embedding column appears nowhere in the
+    plan."""
+    sub = len(next(iter(books.values()))[0][1])
+    # The LUT is ONE SQL expression over a nested codebook literal, not
+    # m_sub * ks Python-composed Columns: building 128 Column trees costs
+    # thousands of driver py4j round-trips (~4 s per CALL, measured at
+    # registration time — pure query-construction overhead, 30x the actual
+    # 0.14 s execution), while one expr string is a single hop and parses
+    # JVM-side. repr(float) round-trips exactly, so the double literals
+    # are bit-identical to the F.lit path (the _band_sql discipline).
+    books_sql = "array(" + ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(x) for x in cw) + ")"
+            for _code, cw in books[m]
+        )
+        + ")"
+        for m in sorted(books)
+    ) + ")"
+    lut = F.expr(
+        f"transform({books_sql}, (bm, m) -> transform(bm, cw ->"
+        f" CAST(FLOOR(1e6 * aggregate(zip_with("
+        f"slice(qe, m * {sub} + 1, {sub}), cw,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)) AS BIGINT)))"
+    )
+    qlut = queries.select("qid", lut.alias("lut"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, l: F.element_at(l, c),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # bcast-audit: bounded (fixed query set)
+    scored = (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", score.alias("score_e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -129,6 +129,7 @@ def load_all() -> dict[str, QueryDef]:
             ann_recall,
             tokenizer_swap,
             fertility,
+            ann_pq,
         )
 
         _loaded = True

@@ -42,6 +42,11 @@ ALLOWED_BNLJ = {
     "ann_recall_report": "the evaluation's exact side IS the deliberate "
     "brute-force pass (corpus x broadcast bounded query set); the approx "
     "side stays directory-pruned",
+    "ann_pq_topk": "the ADC serving scan: 8-int codes x broadcast bounded "
+    "query-LUT set — the PQ analog of the brute-force scan-and-score, over "
+    "a 32x smaller at-rest table",
+    "ann_pq_recall": "composes ann_pq_topk's ADC scan AND the deliberate "
+    "exact brute-force side of the evaluation",
     "ann_ivf_topk": "query set x broadcast centroid table (probe ranking; "
     "the cell assignment itself is a scan projection since r09)",
     # guarded: dup_pairs refuses corpora above DUP_PAIRS_MAX_ROWS (see
@@ -158,6 +163,25 @@ def test_ivf_swap_plan_never_touches_embedding(spark):
     schemas = re.findall(r"ReadSchema: (\S+)", plan)
     assert schemas and all(s == "struct<vec_id:bigint>" for s in schemas), (
         f"unpruned at-rest scan:\n{plan}"
+    )
+
+
+def test_pq_serving_scan_never_touches_embedding(spark):
+    """ann_pq_topk's compression contract: past the one-time session-
+    memoized build, the CORPUS side of the serving scan reads the codes
+    table only (a checkpointed 8-int-per-vector scan — that the payload is
+    32x out of the serving path is the entire point of PQ). The only
+    parquet scan in the plan must be the QUERY side, pruned to the bounded
+    query set by a pushed vec_id filter."""
+    from gpu_mapreduce_spark.queries.ann_pq import ann_pq_topk
+    from gpu_mapreduce_spark.queries.similarity import N_QUERIES
+
+    df = ann_pq_topk(spark, SF_DIR)
+    plan = _plan_of(df)
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1, f"expected only the query-side scan:\n{plan}"
+    assert f"LessThan(vec_id,{N_QUERIES})" in scans[0], (
+        f"query-side scan not pruned to the bounded query set:\n{scans[0]}"
     )
 
 

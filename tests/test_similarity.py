@@ -233,3 +233,109 @@ def test_recall_at_k_model(spark):
 
     with _pytest.raises(ValueError, match="k >= 1"):
         similarity.recall_at_k(approx, exact, 0)
+
+
+def _py_pq(vectors, m_sub, ks, seed, train_n):
+    """Pure-Python PQ model: md5-rank training pick, per-subspace codebook
+    pick, argmin-squared-L2 encode — the operators/similarity.pq_* contract
+    replayed with hashlib + IEEE doubles (same left-to-right fold order)."""
+    import hashlib
+
+    sub = similarity.EMB_DIM // m_sub
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    train = sorted(vectors, key=lambda r: (h(f"{seed}|{r[0]}"), r[0]))[:train_n]
+    books = {}
+    for m in range(m_sub):
+        picked = sorted(train, key=lambda r: (h(f"{seed}|{m}|{r[0]}"), r[0]))[:ks]
+        books[m] = [
+            (c + 1, [float(x) for x in vec[m * sub : (m + 1) * sub]])
+            for c, (_vid, vec) in enumerate(picked)
+        ]
+
+    def qsq_e6(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        import math
+
+        return math.floor(1e6 * acc)
+
+    def encode(vec):
+        out = []
+        for m in range(m_sub):
+            s = vec[m * sub : (m + 1) * sub]
+            out.append(
+                min(books[m], key=lambda cw: (qsq_e6(s, cw[1]), cw[0]))[0]
+            )
+        return out
+
+    return books, {vid: encode(vec) for vid, vec in vectors}
+
+
+def test_pq_encode_matches_python_model(spark):
+    """pq_codebooks + pq_encode vs the pure-Python replay on the fixture
+    corpus: identical codebooks (pick is pure hashing — zero arithmetic)
+    and identical codes for every vector (same quantized-L2 argmin, same
+    ties-to-lower-code rule)."""
+    emb = table(spark, SF_DIR, "embeddings")
+    vectors = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    m_sub, ks, seed, train_n = 4, 8, 99, 64
+    want_books, want_codes = _py_pq(vectors, m_sub, ks, seed, train_n)
+    cb = similarity.pq_codebooks(emb, m_sub=m_sub, ks=ks, seed=seed, train_n=train_n)
+    books = similarity._books_rows(cb)
+    assert books == want_books
+    got = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert got == want_codes
+    assert all(len(c) == m_sub and all(1 <= x <= ks for x in c) for c in got.values())
+
+
+def test_pq_adc_scores_are_lut_sums(spark):
+    """pq_adc_topk's score must equal the Python LUT-sum replay for every
+    returned (qid, vec_id) — floor-per-subspace THEN integer sum, never one
+    float sum over all dims — and self-matches must be excluded."""
+    import math
+
+    emb = table(spark, SF_DIR, "embeddings")
+    books = similarity._books_rows(similarity.pq_codebooks(emb))
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    q = _queries(spark)
+    qvecs = {r.qid: [float(x) for x in r.qe] for r in q.collect()}
+
+    def lut_e6(qv, cw):
+        acc = 0.0
+        for x, y in zip(qv, cw):
+            acc = acc + float(x) * float(y)
+        return math.floor(1e6 * acc)
+
+    top = similarity.pq_adc_topk(
+        similarity.pq_encode(emb, books), q, books, k=10
+    ).collect()
+    assert top, "empty ADC top-k"
+    per_q = {}
+    for r in top:
+        assert r.vec_id != r.qid
+        sub = similarity.PQ_SUB
+        want = sum(
+            lut_e6(
+                qvecs[r.qid][m * sub : (m + 1) * sub],
+                dict(books[m])[codes[r.vec_id][m]],
+            )
+            for m in range(similarity.PQ_M)
+        )
+        assert r.score_e6 == want, (r.qid, r.vec_id, r.score_e6, want)
+        per_q.setdefault(r.qid, []).append(r.score_e6)
+    # ranked descending within each query, exactly k rows per query
+    for qid, scores in per_q.items():
+        assert scores == sorted(scores, reverse=True) and len(scores) == 10
