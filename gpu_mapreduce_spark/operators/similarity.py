@@ -962,6 +962,38 @@ def pq_encode(
     return embeddings.select("vec_id", codes.alias("codes"))
 
 
+def pq_lut_expr(
+    books: dict[int, list[tuple[int, list[float]]]], qcol: str
+) -> Column:
+    """Per-query ADC lookup table: lut[m+1][code] = floor(1e6 *
+    <q_sub_m, codeword>) as one nested ARRAY<ARRAY<BIGINT>> column over the
+    query-vector column `qcol`. Built as ONE SQL expression over a nested
+    codebook literal, not m_sub * ks Python-composed Columns: building 128
+    Column trees costs thousands of driver py4j round-trips (~4 s per
+    CALL, measured at registration time — pure query-construction
+    overhead, 30x the actual 0.14 s execution), while one expr string is a
+    single hop and parses JVM-side. repr(float) round-trips exactly, so
+    the double literals are bit-identical to the F.lit path (the _band_sql
+    discipline); the inner fold is _qdot_e6's left-to-right order."""
+    sub = len(next(iter(books.values()))[0][1])
+    books_sql = "array(" + ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(x) for x in cw) + ")"
+            for _code, cw in books[m]
+        )
+        + ")"
+        for m in sorted(books)
+    ) + ")"
+    return F.expr(
+        f"transform({books_sql}, (bm, m) -> transform(bm, cw ->"
+        f" CAST(FLOOR(1e6 * aggregate(zip_with("
+        f"slice({qcol}, m * {sub} + 1, {sub}), cw,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)) AS BIGINT)))"
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -983,31 +1015,7 @@ def pq_adc_topk(
     reads 32x fewer bytes and does m_sub integer lookups per row instead
     of d multiply-adds; the embedding column appears nowhere in the
     plan."""
-    sub = len(next(iter(books.values()))[0][1])
-    # The LUT is ONE SQL expression over a nested codebook literal, not
-    # m_sub * ks Python-composed Columns: building 128 Column trees costs
-    # thousands of driver py4j round-trips (~4 s per CALL, measured at
-    # registration time — pure query-construction overhead, 30x the actual
-    # 0.14 s execution), while one expr string is a single hop and parses
-    # JVM-side. repr(float) round-trips exactly, so the double literals
-    # are bit-identical to the F.lit path (the _band_sql discipline).
-    books_sql = "array(" + ",".join(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(x) for x in cw) + ")"
-            for _code, cw in books[m]
-        )
-        + ")"
-        for m in sorted(books)
-    ) + ")"
-    lut = F.expr(
-        f"transform({books_sql}, (bm, m) -> transform(bm, cw ->"
-        f" CAST(FLOOR(1e6 * aggregate(zip_with("
-        f"slice(qe, m * {sub} + 1, {sub}), cw,"
-        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v)) AS BIGINT)))"
-    )
-    qlut = queries.select("qid", lut.alias("lut"))
+    qlut = queries.select("qid", pq_lut_expr(books, "qe").alias("lut"))
     score = F.aggregate(
         F.zip_with(
             F.col("codes"),

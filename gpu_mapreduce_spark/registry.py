@@ -130,6 +130,7 @@ def load_all() -> dict[str, QueryDef]:
             tokenizer_swap,
             fertility,
             ann_pq,
+            ann_ivfpq,
         )
 
         _loaded = True

@@ -185,6 +185,26 @@ def test_pq_serving_scan_never_touches_embedding(spark):
     )
 
 
+def test_ivfpq_serving_plan_is_pruned_codes_only(spark):
+    """ann_ivfpq_topk's serving contract: the only file scan in the plan is
+    the codes-at-rest root, directory-pruned to the probed cells
+    (PartitionFilters on cid) and reading codes — never the embedding
+    (the probe list with its LUTs is a checkpointed bounded artifact, so
+    the query-side embedding read isn't in the serving plan either)."""
+    from gpu_mapreduce_spark.queries.ann_ivfpq import ann_ivfpq_topk
+
+    df = ann_ivfpq_topk(spark, SF_DIR)
+    plan = _plan_of(df)
+    assert "embedding" not in plan, f"embedding leaked into the plan:\n{plan}"
+    scans = [ln for ln in plan.split("\n") if "FileScan parquet" in ln]
+    assert len(scans) == 1 and "ivfpq_at_rest_" in scans[0], (
+        f"expected only the codes-root scan:\n{plan}"
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*cid", scans[0]), (
+        f"codes scan not directory-pruned:\n{scans[0]}"
+    )
+
+
 def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
     """The date-partitioned read-back must prune by directory: the one-week
     predicate shows up as PartitionFilters on the scan (only the matching
