@@ -131,6 +131,7 @@ def load_all() -> dict[str, QueryDef]:
             fertility,
             ann_pq,
             ann_ivfpq,
+            dataset_split,
         )
 
         _loaded = True

@@ -80,3 +80,34 @@ def test_inclusion_is_size_monotone_in_probability(spark):
     mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
     mean_sampled = sum(r["n_chars"] for r in rows) / len(rows)
     assert mean_sampled > mean_all
+
+
+def test_hash_split_model(spark):
+    """hash_split vs a pure-Python hashlib replay: identical assignment for
+    every doc, every stratum non-trivially populated at the 98/1/1 cuts,
+    and the assignment is a function of the KEY alone (repartitioning the
+    input must not move a single row — the randomSplit failure mode)."""
+    import hashlib
+
+    from gpu_mapreduce_spark.operators import sampling
+    from gpu_mapreduce_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id")
+    got = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, "doc_id").collect()
+    }
+
+    def want(doc_id):
+        b = int(hashlib.md5(f"split|{doc_id}".encode()).hexdigest()[:15], 16) % 10000
+        return "test" if b < 100 else ("val" if b < 200 else "train")
+
+    assert got == {d: want(d) for d in got}
+    counts = {s: sum(1 for v in got.values() if v == s) for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0, counts
+    rep = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert rep == got

@@ -263,6 +263,41 @@ def measure(spark: SparkSession, label: str, fn) -> dict:
     return m
 
 
+def build_stream_events(spark: SparkSession) -> str:
+    """STREAM tier input: one parquet file per replica under
+    events_stream/ — replica k shifts event_id (+k*1e6) and user_id
+    (+k*10_000: the KEY SPACE grows linearly with data, which is what
+    per-key state scales with) and ts (+k*31 days: each replica is the
+    NEXT month of traffic, so event time advances monotonically across
+    batches and watermark eviction actually runs — re-delivering the same
+    month REPS times would park every batch behind the first watermark).
+    maxFilesPerTrigger=1 then makes each replica one microbatch: the 1x
+    point is one batch (glob ev_000), the REPSx point is REPS batches."""
+    out = f"{SF10X}/events_stream"
+    if os.path.exists(os.path.join(out, "_done")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    e = spark.read.parquet(f"{SF1X}/events.parquet")
+    for k in range(REPS):
+        rep = e.select(
+            (F.col("event_id") + k * 1_000_000).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k * 31} DAYS")).alias("ts"),
+            (F.col("user_id") + k * 10_000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        tmp = f"{out}/_build"
+        rep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, part), f"{out}/ev_{k:03d}.parquet")
+        shutil.rmtree(tmp)
+    with open(os.path.join(out, "_done"), "w") as fh:
+        fh.write("ok")
+    return out
+
+
 def main() -> None:
     global UI
     spark = get_spark_ui()
@@ -455,6 +490,79 @@ def main() -> None:
             out["emb"][f"{REPS}x_fixedK"] = emb_suite(
                 emb_path_10x, 16, f"{REPS}x_fixedK"
             )
+
+    if tier in ("all", "stream"):
+        # STREAMING tier (r09): the fifth workload axis. Claims under
+        # measurement: (a) drain wall scales ~linearly with events at a
+        # fixed per-batch shape; (b) per-key state (funnel GroupState)
+        # scales with DISTINCT KEYS, not stream length; (c) horizon-bounded
+        # state (watermarked windows, dropDuplicatesWithinWatermark) stays
+        # ~FLAT as data scales 10x, because event time advances and
+        # eviction keeps only the lateness horizon — the difference between
+        # a week-long pipeline and an OOM.
+        from gpu_mapreduce_spark.streaming import pipeline as sp
+
+        stream_dir = build_stream_events(spark)
+        seq = {"i": 0}
+
+        def run_stream(glob_pat, make, mode, meta_box):
+            seq["i"] += 1
+            name = f"s_ev_{seq['i']}"
+            src = (
+                spark.readStream.schema(sp.EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", glob_pat)
+                .parquet(stream_dir)
+            )
+            q = (
+                make(src)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            prog = q.lastProgress or {}
+            meta_box.clear()
+            meta_box.update(
+                batches=len(q.recentProgress),
+                state_rows=sum(
+                    op.get("numRowsTotal", 0)
+                    for op in prog.get("stateOperators", [])
+                ),
+            )
+            n = spark.table(name).count()
+            spark.catalog.dropTempView(name)
+            return n
+
+        workloads = [
+            ("funnel_stream", lambda src: sp.funnel_stages_stream(src), "append"),
+            (
+                "windowed_stream",
+                lambda src: sp.windowed_counts(src, with_watermark=True),
+                "append",
+            ),
+            (
+                "dedup_stream",
+                lambda src: sp.dedup_events(
+                    sp.with_redelivery(src), streaming=True
+                ),
+                "append",
+            ),
+        ]
+        out["stream"] = {"data_ratio": REPS}
+        for wname, make, mode in workloads:
+            entry = {}
+            for label, glob_pat in [("1x", "ev_000.parquet"), (f"{REPS}x", "ev_*.parquet")]:
+                meta: dict = {}
+                entry[label] = measure(
+                    spark,
+                    f"{wname}@{label}",
+                    lambda: run_stream(glob_pat, make, mode, meta),
+                )
+                entry[label].update(meta)
+            out["stream"][wname] = entry
 
     print(json.dumps(out))
 
