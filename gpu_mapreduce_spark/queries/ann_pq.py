@@ -65,27 +65,37 @@ def _pq_index(
     return fixtures.derived(spark, sf_dir, "pq_index", build)
 
 
-# SQL replay of pq_codebooks + pq_encode: CTEs pq_train / pq_books /
-# pq_assigned (per-vector-per-subspace winning code).
-_QSQ = (
-    f"CAST(FLOOR(1e6 * list_sum(list_transform(generate_series(1, {PQ_SUB}),"
-    f" i -> (CAST(e.embedding[b.m * {PQ_SUB} + i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE))"
-    f" * (CAST(e.embedding[b.m * {PQ_SUB} + i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE)))))"
-    " AS BIGINT)"
-)
+def _qsq_sql(p: str) -> str:
+    """Quantized squared-L2 fragment for the {p}books join (replays
+    operators/similarity._qsq_e6's fold order)."""
+    return (
+        f"CAST(FLOOR(1e6 * list_sum(list_transform(generate_series(1, {PQ_SUB}),"
+        f" i -> (CAST(e.embedding[b.m * {PQ_SUB} + i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE))"
+        f" * (CAST(e.embedding[b.m * {PQ_SUB} + i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE)))))"
+        " AS BIGINT)"
+    )
 
-PQ_CTES = f"""
-        pq_train AS (
+
+def pq_ctes(prefix: str = "", train_where: str = "") -> str:
+    """SQL replay of pq_codebooks + pq_encode: CTEs {prefix}pq_train /
+    {prefix}pq_books / {prefix}pq_assigned (per-vector-per-subspace winning
+    code). `prefix` + `train_where` follow the ivf_assign_ctes discipline
+    (lifted here for SCALE.md's r10 ann_ivfpq_append design: codebooks
+    trained on the EXISTING split stay frozen while the full corpus
+    encodes under them); the unprefixed instance is module-level PQ_CTES."""
+    p = prefix
+    return f"""
+        {p}pq_train AS (
             SELECT vec_id, embedding FROM (
                 SELECT vec_id, embedding,
                        row_number() OVER (ORDER BY
                            ('0x' || substr(md5('{PQ_SEED}' || '|' ||
                                CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                            vec_id) AS trn
-                FROM embeddings
+                FROM embeddings {train_where}
             ) WHERE trn <= {PQ_TRAIN}
         ),
-        pq_books AS (
+        {p}pq_books AS (
             SELECT m, code, cw FROM (
                 SELECT m.m, t.vec_id,
                        row_number() OVER (PARTITION BY m.m ORDER BY
@@ -96,17 +106,20 @@ PQ_CTES = f"""
                        list_transform(generate_series(1, {PQ_SUB}),
                                       i -> t.embedding[m.m * {PQ_SUB} + i])
                            AS cw
-                FROM pq_train t, (SELECT unnest(range(0, {PQ_M})) AS m) m
+                FROM {p}pq_train t, (SELECT unnest(range(0, {PQ_M})) AS m) m
             ) WHERE code <= {PQ_KS}
         ),
-        pq_assigned AS (
+        {p}pq_assigned AS (
             SELECT vec_id, m, code FROM (
                 SELECT e.vec_id, b.m, b.code,
                        row_number() OVER (PARTITION BY e.vec_id, b.m
-                           ORDER BY {_QSQ} ASC, b.code) AS rn
-                FROM embeddings e, pq_books b
+                           ORDER BY {_qsq_sql(p)} ASC, b.code) AS rn
+                FROM embeddings e, {p}pq_books b
             ) WHERE rn = 1
         )"""
+
+
+PQ_CTES = pq_ctes()
 
 _PQ_TOPK_SELECT = f"""
         pq_q AS (SELECT vec_id AS qid, embedding AS qe

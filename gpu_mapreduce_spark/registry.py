@@ -132,6 +132,7 @@ def load_all() -> dict[str, QueryDef]:
             ann_pq,
             ann_ivfpq,
             dataset_split,
+            manifest,
         )
 
         _loaded = True
