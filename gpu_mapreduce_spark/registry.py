@@ -133,6 +133,7 @@ def load_all() -> dict[str, QueryDef]:
             ann_ivfpq,
             dataset_split,
             manifest,
+            ivfpq_append,
         )
 
         _loaded = True
