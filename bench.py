@@ -230,7 +230,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3) if not errors else None,
         "unit": "sec",
-        "queries": times,
+        # stdout carries centisecond precision — every byte competes with
+        # the driver's tail capture; the full 3-decimal samples live in
+        # the telemetry sidecar
+        "queries": {n: round(t, 2) for n, t in times.items()},
         "queries_ok": len(times),
         "queries_total": len(queries),
         "sf": _sf_of(sf_dir),

@@ -144,36 +144,46 @@ def ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(path: str) -> DataFrame:
         # append = NEW files only; the base codes root is untouched on disk
         delta_rows.write.mode("overwrite").partitionBy("cid").parquet(path)
-        base = spark.read.schema(_CODES_SCHEMA).parquet(base_root)
         added = spark.read.schema(_CODES_SCHEMA).parquet(path)
-        combined = base.unionByName(added).select(
-            "vec_id",
-            "cid",
-            F.concat_ws(".", F.col("codes").cast("array<string>")).alias("cs"),
-        )
-        return combined.groupBy("cid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.sum((F.col("vec_id") % _MOD == _REM).cast("int"))
-            .cast("bigint")
-            .alias("n_delta"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("vec_id", "cs"))
-                        ),
-                        lambda x: F.concat_ws(
-                            ":", x["vec_id"].cast("string"), x["cs"]
-                        ),
-                    ),
-                )
-            ).alias("inv_digest"),
-        ).select(
-            F.col("cid").cast("int").alias("cid"),
-            "n_vecs",
-            "n_delta",
-            "inv_digest",
-        )
+        return codes_inventory(spark, base_root, added)
 
     return sink_roundtrip("ivfpq_append_", build)
+
+
+def codes_inventory(
+    spark: SparkSession, base_root: str, added: DataFrame
+) -> DataFrame:
+    """Per-cell inventory of base-root ∪ added codes rows: (cid, n_vecs,
+    n_delta, inv_digest) with the digest over sorted 'vec_id:c1.c2...'
+    strings — shared by the batch append and the streaming ingest so the
+    two paths provably aggregate identically."""
+    base = spark.read.schema(_CODES_SCHEMA).parquet(base_root)
+    combined = base.unionByName(added).select(
+        "vec_id",
+        "cid",
+        F.concat_ws(".", F.col("codes").cast("array<string>")).alias("cs"),
+    )
+    return combined.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("vec_id") % _MOD == _REM).cast("int"))
+        .cast("bigint")
+        .alias("n_delta"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("vec_id", "cs"))
+                    ),
+                    lambda x: F.concat_ws(
+                        ":", x["vec_id"].cast("string"), x["cs"]
+                    ),
+                ),
+            )
+        ).alias("inv_digest"),
+    ).select(
+        F.col("cid").cast("int").alias("cid"),
+        "n_vecs",
+        "n_delta",
+        "inv_digest",
+    )

@@ -134,6 +134,9 @@ def load_all() -> dict[str, QueryDef]:
             dataset_split,
             manifest,
             ivfpq_append,
+            modularity,
+            stream_ingest,
+            bm25,
         )
 
         _loaded = True

@@ -39,7 +39,9 @@ def test_bench_stdout_line_fits_driver_tail_capture():
     payload = {
         "metric": "headline_queries_total",
         "value": 9999.999,
-        "queries": {n: 9999.999 for n in bench},
+        # stdout carries 2-decimal per-query values since r09 (bench.py
+        # rounds; full precision lives in the telemetry sidecar)
+        "queries": {n: 9999.99 for n in bench},
         "unit": "sec",
         "queries_ok": len(bench),
         "queries_total": len(bench),

@@ -66,6 +66,8 @@ ALLOWED_BNLJ = {
     "q11_important_stock": "per-part values x broadcast 1-row (total, count)",
     "q22_idle_customers": "customers x broadcast 1-row average balance",
     "tfidf_search_topk": "3-row term df x broadcast 1-row corpus count",
+    "bm25_topk": "3-row term df x broadcast 1-row (n_docs, avgdl) constants "
+    "(the tfidf literal-key shape)",
 }
 
 # Unpartitioned Window operators move ALL input rows to one task — the

@@ -491,6 +491,91 @@ def main() -> None:
                 emb_path_10x, 16, f"{REPS}x_fixedK"
             )
 
+    if tier in ("all", "pq"):
+        # PQ tier (r09): the compressed serving layout at 1x vs REPSx.
+        # Codebooks are sample-trained (PQ_TRAIN-bounded), so the BUILD
+        # inputs are constant-size at any corpus — the claims measured here:
+        # (a) encode is one scan projection, linear in N; (b) the flat ADC
+        # scan is linear in N at 32x-compressed width; (c) the composed
+        # IVFPQ probe touches nprobe/k of the codes, so its wall stays
+        # near-flat while the corpus grows 10x.
+        import tempfile
+
+        from gpu_mapreduce_spark.operators import similarity as sim
+
+        emb_path_10x = build_10x_embeddings(spark)
+
+        def pq_suite(emb_path: str, label: str) -> dict:
+            emb = (
+                spark.read.parquet(emb_path)
+                .repartition(4 * spark.sparkContext.defaultParallelism)
+                .localCheckpoint(eager=True)
+            )
+            n = emb.count()
+            books = sim._books_rows(sim.pq_codebooks(emb))
+            queries = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+            ).localCheckpoint(eager=True)
+            res = {"n_vectors": n}
+            res["pq_encode"] = measure(
+                spark, f"pq_encode@{label}",
+                lambda: sim.pq_encode(emb, books).count(),
+            )
+            codes = sim.pq_encode(emb, books).localCheckpoint(eager=True)
+            res["pq_adc_topk"] = measure(
+                spark, f"pq_adc@{label}",
+                lambda: sim.pq_adc_topk(codes, queries, books, k=10).count(),
+            )
+            # composed IVFPQ root: coarse cells + codes, cid-partitioned
+            centroids, assigned = sim.ivf_build(emb, n_centroids=16, seed=11)
+            root = tempfile.mkdtemp(prefix=f"scale_ivfpq_{label}_")
+            (
+                assigned.select("vec_id", "cid").join(codes, "vec_id")
+                .write.mode("overwrite").partitionBy("cid").parquet(root)
+            )
+            codes_schema = "vec_id bigint, codes array<int>, cid int"
+
+            def ivfpq_probe() -> int:
+                probes = sim.ivf_probes(
+                    queries, centroids, nprobe=4
+                ).localCheckpoint(eager=True)
+                cids = sorted({r.cid for r in probes.select("cid").collect()})
+                qlut = probes.select(
+                    "qid", "cid", sim.pq_lut_expr(books, "qe").alias("lut")
+                )
+                back = (
+                    spark.read.schema(codes_schema).parquet(root)
+                    .filter(F.col("cid").isin(cids))
+                )
+                score = F.aggregate(
+                    F.zip_with(F.col("codes"), F.col("lut"),
+                               lambda c, l: F.element_at(l, c)),
+                    F.lit(0).cast("bigint"), lambda a, x: a + x,
+                )
+                from pyspark.sql import Window
+                w = Window.partitionBy("qid").orderBy(
+                    F.desc("score_e6"), F.asc("vec_id"))
+                return (
+                    back.join(F.broadcast(qlut), "cid")
+                    .filter(F.col("vec_id") != F.col("qid"))
+                    .select("qid", "vec_id", score.alias("score_e6"))
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= 10)
+                    .count()
+                )
+
+            res["ivfpq_probe"] = measure(
+                spark, f"ivfpq_probe@{label}", ivfpq_probe
+            )
+            shutil.rmtree(root, ignore_errors=True)
+            return res
+
+        out["pq"] = {
+            "data_ratio": REPS,
+            "1x": pq_suite(f"{SF1X}/embeddings.parquet", "1x"),
+            f"{REPS}x": pq_suite(emb_path_10x, f"{REPS}x"),
+        }
+
     if tier in ("all", "stream"):
         # STREAMING tier (r09): the fifth workload axis. Claims under
         # measurement: (a) drain wall scales ~linearly with events at a
