@@ -137,6 +137,8 @@ def load_all() -> dict[str, QueryDef]:
             modularity,
             stream_ingest,
             bm25,
+            para_dedup,
+            mrl_recall,
         )
 
         _loaded = True

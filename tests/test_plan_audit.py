@@ -47,6 +47,9 @@ ALLOWED_BNLJ = {
     "a 32x smaller at-rest table",
     "ann_pq_recall": "composes ann_pq_topk's ADC scan AND the deliberate "
     "exact brute-force side of the evaluation",
+    "mrl_truncation_recall": "both evaluation sides are the deliberate "
+    "brute-force scan over the bounded query set (truncated-prefix vs "
+    "full-dimension)",
     "ann_ivf_topk": "query set x broadcast centroid table (probe ranking; "
     "the cell assignment itself is a scan projection since r09)",
     # guarded: dup_pairs refuses corpora above DUP_PAIRS_MAX_ROWS (see
