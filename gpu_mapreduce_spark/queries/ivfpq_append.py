@@ -153,12 +153,18 @@ def ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def codes_inventory(
     spark: SparkSession, base_root: str, added: DataFrame
 ) -> DataFrame:
-    """Per-cell inventory of base-root ∪ added codes rows: (cid, n_vecs,
-    n_delta, inv_digest) with the digest over sorted 'vec_id:c1.c2...'
-    strings — shared by the batch append and the streaming ingest so the
-    two paths provably aggregate identically."""
+    """Per-cell inventory of base-root ∪ added codes rows — shared by the
+    batch append and the streaming ingest so the two paths provably
+    aggregate identically."""
     base = spark.read.schema(_CODES_SCHEMA).parquet(base_root)
-    combined = base.unionByName(added).select(
+    return inventory_agg(base.unionByName(added))
+
+
+def inventory_agg(codes_rows: DataFrame) -> DataFrame:
+    """(cid, n_vecs, n_delta, inv_digest) rollup of a codes row set, the
+    digest over sorted 'vec_id:c1.c2...' strings — the shared aggregate of
+    every IVFPQ physical path (batch append, stream ingest, compaction)."""
+    combined = codes_rows.select(
         "vec_id",
         "cid",
         F.concat_ws(".", F.col("codes").cast("array<string>")).alias("cs"),

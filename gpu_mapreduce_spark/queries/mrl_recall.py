@@ -39,6 +39,7 @@ from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources.tables import table
 
 _TRUNC = 16  # evaluated prefix length (the 4x-cheaper deployment tier)
+assert _TRUNC < EMB_DIM  # a prefix, never the whole vector
 
 
 def _qsim_trunc_sql(a: str, b: str, d: int) -> str:

@@ -139,6 +139,8 @@ def load_all() -> dict[str, QueryDef]:
             bm25,
             para_dedup,
             mrl_recall,
+            compaction,
+            nprobe_curve,
         )
 
         _loaded = True

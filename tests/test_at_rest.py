@@ -104,3 +104,71 @@ def test_append_preserves_untouched_bins(spark):
     assert untouched > 0 and touched > 0, (
         "fixture must exercise both untouched and appended bins"
     )
+
+
+def test_index_compaction_yields_one_file_per_cell(spark, tmp_path):
+    """The digest proves content; only the LISTING proves the compaction
+    compacted: the fragmented post-append state holds base + delta part
+    files in every touched cell directory, the compacted root exactly
+    one part file per cell."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.operators import similarity
+    from gpu_mapreduce_spark.queries.ann_append import (
+        _MOD,
+        _REM,
+        _ivf_existing_at_rest,
+    )
+    from gpu_mapreduce_spark.queries.compaction import compact_codes_root
+    from gpu_mapreduce_spark.queries.ivfpq_append import (
+        _CODES_SCHEMA,
+        _ivfpq_existing_at_rest,
+        _pq_books_existing,
+    )
+    from gpu_mapreduce_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    def parts_per_cell(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("cid="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(root, d))
+                     if f.endswith(".parquet")]
+                )
+        return out
+
+    centroids, _ = _ivf_existing_at_rest(spark, SF_DIR)
+    books = _pq_books_existing(spark, SF_DIR)
+    base_root = _ivfpq_existing_at_rest(spark, SF_DIR)
+    delta = table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") % _MOD == _REM
+    )
+    delta_rows = similarity.pq_encode(delta, books).join(
+        similarity.ivf_assign(delta, centroids).select("vec_id", "cid"),
+        "vec_id",
+    )
+    delta_dir = str(tmp_path / "delta")
+    delta_rows.write.mode("overwrite").partitionBy("cid").parquet(delta_dir)
+    added = spark.read.schema(_CODES_SCHEMA).parquet(delta_dir)
+    compact_dir = str(tmp_path / "compact")
+    compacted = compact_codes_root(spark, base_root, added, compact_dir)
+
+    frag_cells = parts_per_cell(base_root)
+    delta_cells = parts_per_cell(delta_dir)
+    comp_cells = parts_per_cell(compact_dir)
+    # fragmented state: touched cells hold base + delta files
+    touched = set(frag_cells) & set(delta_cells)
+    assert touched, "delta touched no cell — vacuous fixture"
+    assert all(
+        frag_cells[c] + delta_cells[c] >= 2 for c in touched
+    ), (frag_cells, delta_cells)
+    # compacted: exactly one part file per cell, same total rows
+    assert comp_cells and all(n == 1 for n in comp_cells.values()), comp_cells
+    n_frag = (
+        spark.read.schema(_CODES_SCHEMA).parquet(base_root).count()
+        + added.count()
+    )
+    assert compacted.count() == n_frag
