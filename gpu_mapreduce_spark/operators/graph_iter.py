@@ -642,3 +642,94 @@ def cc_stats(cc: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ncomp"))
         .orderBy(F.desc("csize"))
     )
+
+
+def ktruss_edges(
+    edges: DataFrame, k: int, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """k-truss decomposition of one k (SCALE.md r10 design, staged ahead of
+    its registration): iteratively remove every edge supported by fewer
+    than k-2 triangles IN THE SURVIVING SUBGRAPH until a fixed point — the
+    edge-granularity dual of kcore (an edge of trussness k lives in a
+    subgraph where every edge closes >= k-2 triangles). Returns
+    (survivors (src, dst, support), rounds) with `support` the edge's
+    triangle count in the final subgraph.
+
+    The peel is BATCHED (all under-supported edges drop at once — rounds
+    are O(peeling depth), not O(E)) and each round is the suite's existing
+    triangle machinery verbatim: graph.tri_find's degree-oriented wedge
+    join (O(E^1.5) bounded work per round), one explode of each triangle
+    into its three edges, one map-side-combined (src, dst) count, one
+    keyed anti/semi filter. Per round ONE scalar (the surviving edge
+    count) crosses the driver — the pagerank convergence discipline —
+    and the surviving set is localCheckpoint'ed so lineage never stacks
+    (the cc_find loop discipline). Requires k >= 3 (k-2 >= 1; below that
+    every edge trivially survives and the loop would be the identity).
+
+    100 TB: per-round cost is dominated by the triangle recount, which is
+    the known k-truss cost everywhere; the batched peel bounds rounds by
+    the support-peeling depth (typically tens on power-law graphs), and
+    each round's shuffles carry only (edge, count) pairs, never adjacency
+    payloads."""
+    if k < 3:
+        raise ValueError(f"ktruss requires k >= 3, got {k}")
+    from gpu_mapreduce_spark.operators import graph
+
+    def edge_support(es: DataFrame) -> DataFrame:
+        tris = graph.tri_find(es)
+        return (
+            tris.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("src"), F.col("b").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("a").alias("src"), F.col("c").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("b").alias("src"), F.col("c").alias("dst")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        rounds += 1
+        supp = edge_support(cur)
+        keep = (
+            cur.join(supp, ["src", "dst"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_new = keep.count()  # ONE driver scalar per round
+        cur = keep
+        if n_new == n_cur:
+            break
+        n_cur = n_new
+    # attach the FINAL subgraph's support (correct on every exit path,
+    # including a max_rounds bail-out where the last loop supp is stale)
+    out = cur.join(edge_support(cur), ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+    )
+    return out, rounds

@@ -336,3 +336,34 @@ def test_kcore_invariants_and_paths(spark):
     )
     plan = one_round._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(src" not in plan, plan
+
+
+def test_ktruss_model(spark):
+    """ktruss_edges on a hand graph: a K4 glued to a pendant triangle.
+    k=3 keeps every triangle edge (support >= 1); k=4 keeps exactly the
+    K4's 6 edges (support 2 each inside the clique); k=5 peels everything
+    (the pendant-triangle edges' removal drops K4 support transitively...
+    no — K4 alone is a 4-truss, not 5: every edge has support 2 < 3)."""
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    # K4 on {0,1,2,3} + triangle {3,4,5}
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tri = [(3, 4), (3, 5), (4, 5)]
+    edges = spark.createDataFrame(k4 + tri, "src bigint, dst bigint")
+
+    s3, r3 = graph_iter.ktruss_edges(edges, 3)
+    got3 = {(r.src, r.dst): r.support for r in s3.collect()}
+    assert set(got3) == set(k4 + tri)
+    assert got3[(4, 5)] == 1 and got3[(0, 1)] == 2
+
+    s4, _r4 = graph_iter.ktruss_edges(edges, 4)
+    got4 = {(r.src, r.dst): r.support for r in s4.collect()}
+    assert set(got4) == set(k4) and all(v == 2 for v in got4.values())
+
+    s5, _r5 = graph_iter.ktruss_edges(edges, 5)
+    assert s5.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 3"):
+        graph_iter.ktruss_edges(edges, 2)
