@@ -71,6 +71,61 @@ def _load_baseline() -> dict[str, float]:
         return {}
 
 
+def _compact_payload(
+    times: dict[str, float],
+    queries_total: int,
+    sf,
+    run_id: str,
+    errors: dict[str, str],
+    budget: int = 1800,
+) -> tuple[dict, list[str]]:
+    """Build the one driver-parsed stdout payload, GUARANTEED to serialize
+    within `budget` chars (the driver tail-captures only ~2000 chars of
+    stdout; BENCH_r06 lost every per-query timing when the line outgrew
+    that window, and at 60+ benched queries the fixed format had <100
+    chars of worst-case headroom left — VERDICT r09 #4).
+
+    'value' is the exact sum of the ROUNDED per-query values, so the
+    stdout line is internally consistent: sum(queries.values()) == value
+    to the centisecond, with no reconciliation drift (ADVICE r09). Full
+    3-decimal per-query times always live in the telemetry sidecar.
+
+    If the serialized line would still exceed the budget, the FASTEST
+    per-query entries are elided from the stdout map (they carry the
+    least regression signal; a real regression makes a query slow, which
+    keeps it on the line) and 'queries_elided' reports how many — the
+    sidecar's queries_full map remains complete. Returns
+    (payload, elided_names)."""
+    # stdout carries centisecond precision — every byte competes with the
+    # driver's tail capture; full precision lives in the sidecar
+    q2 = {n: round(t, 2) for n, t in times.items()}
+    payload: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(q2.values()), 2) if not errors else None,
+        "unit": "sec",
+        "queries": dict(q2),
+        "queries_ok": len(times),
+        "queries_total": queries_total,
+        "sf": sf,
+        "run_id": run_id,
+    }
+    if errors:
+        # Names only on the compact line (full messages in the sidecar):
+        # one long exception string could re-break the tail-capture budget.
+        payload["errors"] = sorted(errors)
+    elided: list[str] = []
+    # fastest-first elision order; deterministic tie-break by name
+    order = sorted(q2, key=lambda n: (q2[n], n))
+    while (
+        len(json.dumps(payload, separators=(",", ":"))) > budget and order
+    ):
+        name = order.pop(0)
+        del payload["queries"][name]
+        elided.append(name)
+        payload["queries_elided"] = len(elided)
+    return payload, elided
+
+
 def _gc_ms(spark) -> int:
     """Cumulative stop-the-world GC milliseconds across all collectors of
     the driver JVM (single-JVM local mode: this IS the executor heap)."""
@@ -206,14 +261,22 @@ def main() -> None:
     # run_id ties the compact line to ITS OWN sidecar: bench_compare must
     # never adjudicate an artifact against samples some other run wrote.
     run_id = f"{time.time_ns():x}"[-12:]
+    payload, elided = _compact_payload(
+        times, len(queries), _sf_of(sf_dir), run_id, errors
+    )
     sidecar: dict = {
         "run_id": run_id,
+        # the complete full-precision per-query map, independent of any
+        # stdout elision — the sidecar is authoritative for per-query time
+        "queries_full": {n: round(t, 3) for n, t in times.items()},
         "samples": all_samples,
         "telemetry": telemetry,
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "load_wait_s": load_wait_s,
     }
+    if elided:
+        sidecar["queries_elided"] = elided
     if errors:
         sidecar["errors"] = errors
     sidecar_path = os.path.join(
@@ -226,26 +289,9 @@ def main() -> None:
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
     print("# telemetry: " + json.dumps(sidecar), file=sys.stderr)
 
-    payload: dict = {
-        "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3) if not errors else None,
-        "unit": "sec",
-        # stdout carries centisecond precision — every byte competes with
-        # the driver's tail capture; the full 3-decimal samples live in
-        # the telemetry sidecar
-        "queries": {n: round(t, 2) for n, t in times.items()},
-        "queries_ok": len(times),
-        "queries_total": len(queries),
-        "sf": _sf_of(sf_dir),
-        "run_id": run_id,
-    }
-    if errors:
-        # Names only on the compact line (full messages in the sidecar):
-        # one long exception string could re-break the tail-capture budget.
-        payload["errors"] = sorted(errors)
     # separators=(',',':') — every byte of this line competes with the
-    # driver's ~2000-char stdout tail capture (46 real query names fit in
-    # ~1.3 kB compact vs ~2.0 kB with default spacing).
+    # driver's ~2000-char stdout tail capture; _compact_payload guarantees
+    # the serialized line stays within its 1800-char budget.
     print(json.dumps(payload, separators=(",", ":")))
 
 

@@ -20,9 +20,12 @@ denominators to ONE non-negative floor division:
 
 Every operand is non-negative, so Spark `div` and DuckDB `//` agree.
 Exactness bound (documented, not silent): idf_u * tf * 44 * avgdl_i must
-stay under 2^63 — holds whenever idf_u <= 2e11 (N/df ratio <= ~1e7) with
-tf <= 1e4 and avgdl_i <= 1e3; rarer terms should be scored per-shard and
-merged, or idf_u rescaled, before that bound.
+stay under 2^63 (~9.22e18) — with tf <= 1e4 and avgdl_i <= 1e3 the safe
+envelope is idf_u <= 2^63/(44e7) ~= 2e10 (N/df ratio <= ~1e6); rarer
+terms should be scored per-shard and merged, or idf_u rescaled, before
+that bound (Spark's non-ANSI BIGINT multiply wraps silently past it,
+while DuckDB errors — ADVICE r09 corrected the earlier 2e11 figure,
+which overflowed ~10x inside its own claimed-safe envelope).
 
 Plan shape (argued at 100 TB — the tfidf_search_topk shape plus the
 per-doc length): substring pre-filter before tokenization (strict

@@ -188,8 +188,18 @@ def mixture_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tr.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_train")
     )
-    # ONE scalar crosses the driver (the pagerank discipline)
-    n_min = int(agg.agg(F.min("n_train")).collect()[0][0])
+    # ONE scalar crosses the driver (the pagerank discipline). On a
+    # degenerate corpus (empty documents table / empty train split) the
+    # MIN aggregate is NULL — return the empty frame the oracle also
+    # produces instead of raising on int(None) (ADVICE r09).
+    n_min_row = agg.agg(F.min("n_train")).collect()[0][0]
+    if n_min_row is None:
+        return spark.createDataFrame(
+            [],
+            "source string, n_train bigint, rate_bp bigint,"
+            " n_kept bigint, kept_tokens bigint",
+        )
+    n_min = int(n_min_row)
     rates = agg.select(
         "source",
         "n_train",

@@ -12,9 +12,14 @@ truncates toward zero while DuckDB's `//` floors, so negative numerators
 are routed through -((-a + den - 1) div den) on BOTH engines, making the
 two divisions identical everywhere (the registry's sign-split discipline).
 All terms are counts: m (undirected edges), e_c (intra-community edges),
-d_c (degree mass); 10000 * num_c stays far under 2^63 for any graph whose
-4*m^2 fits BIGINT (m < ~1.5e9 per report — at larger m, report per-shard
-and combine the exact (num, den) rationals).
+d_c (degree mass). Exactness bound: |num_c| itself can reach 4*m^2 (one
+community holding the whole graph), so the premultiplied 10000*num_c
+stays under 2^63 only while 40000*m^2 < 2^63, i.e. m < ~1.5e7 edges per
+report (ADVICE r09 corrected the earlier m < ~1.5e9 figure, which was
+~100x past the real envelope) — at larger m, report per-shard and
+combine the exact (num, den) rationals, or derive contrib_u from num_c
+as 10000*quotient + (10000*remainder) div den so the premultiply never
+forms.
 
 Topology: degrees are one arc-keyed count, community rollups one
 label-keyed aggregate, intra-edges one edges ⋈ labels ⋈ labels equi-join

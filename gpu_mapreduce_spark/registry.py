@@ -141,6 +141,8 @@ def load_all() -> dict[str, QueryDef]:
             mrl_recall,
             compaction,
             nprobe_curve,
+            # r10 tail (same discipline: new modules at the END)
+            ktruss,
         )
 
         _loaded = True

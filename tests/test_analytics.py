@@ -146,3 +146,35 @@ def test_sample_tag_independence(spark):
     assert a != b
     # overlap ~ rate^2 * n = 200; allow generous slack either side
     assert 50 < len(a & b) < 500
+
+
+def test_mixture_by_split_empty_corpus(spark, tmp_path):
+    """ADVICE r09: mixture_by_split used to raise TypeError (int(None)) on
+    a degenerate corpus whose train split is empty, while the DuckDB
+    oracle returns an empty result set. Now it returns the empty frame
+    with the output schema."""
+    from gpu_mapreduce_spark.queries.manifest import mixture_by_split
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("text", pa.string()),
+        ]
+    )
+    pq.write_table(
+        schema.empty_table(), str(tmp_path / "documents.parquet")
+    )
+    out = mixture_by_split(spark, str(tmp_path))
+    assert out.columns == [
+        "source",
+        "n_train",
+        "rate_bp",
+        "n_kept",
+        "kept_tokens",
+    ]
+    assert out.count() == 0
