@@ -576,6 +576,111 @@ def main() -> None:
             f"{REPS}x": pq_suite(emb_path_10x, f"{REPS}x"),
         }
 
+    if tier in ("all", "frag"):
+        # AT-REST MAINTENANCE tier (r10, VERDICT r09 #6): the
+        # file-count / fragmentation axis index_compaction's docstring
+        # claims ("small-file proliferation kills scan throughput")
+        # without a number. Swap/append/compaction are already verified
+        # at three sf scales; this measures the READ-AMPLIFICATION story:
+        # the same codes root scanned at 1 append cycle vs REPS append
+        # cycles of delta files vs after compact_codes_root. Each append
+        # cycle writes its slice of the delta cid-partitioned into the
+        # shared delta root (mode=append lays NEW part files alongside,
+        # exactly ann_ivfpq_append's physical layout), so cell
+        # directories accumulate ~1 file per cycle — the fragmentation a
+        # nightly compactor exists to undo.
+        import atexit
+        import tempfile
+
+        from gpu_mapreduce_spark.operators import similarity
+        from gpu_mapreduce_spark.queries.ann_append import (
+            _MOD,
+            _REM,
+            _ivf_existing_at_rest,
+        )
+        from gpu_mapreduce_spark.queries.compaction import compact_codes_root
+        from gpu_mapreduce_spark.queries.ivfpq_append import (
+            _CODES_SCHEMA,
+            _ivfpq_existing_at_rest,
+            _pq_books_existing,
+            inventory_agg,
+        )
+        from gpu_mapreduce_spark.sources.tables import table as _table
+
+        centroids, _bp = _ivf_existing_at_rest(spark, SF1X)
+        books = _pq_books_existing(spark, SF1X)
+        base_root = _ivfpq_existing_at_rest(spark, SF1X)
+        delta = _table(spark, SF1X, "embeddings").filter(
+            F.col("vec_id") % _MOD == _REM
+        )
+        delta_rows = (
+            similarity.pq_encode(delta, books)
+            .join(
+                similarity.ivf_assign(delta, centroids).select(
+                    "vec_id", "cid"
+                ),
+                "vec_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def _n_parquet_files(*roots: str) -> int:
+            n = 0
+            for root in roots:
+                for dirpath, _dirs, files in os.walk(root):
+                    n += sum(f.endswith(".parquet") for f in files)
+            return n
+
+        def _frag_root(cycles: int) -> str:
+            path = tempfile.mkdtemp(prefix=f"frag{cycles}_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            for c in range(cycles):
+                (
+                    delta_rows.filter(F.col("vec_id") % cycles == c)
+                    .write.mode("append")
+                    .partitionBy("cid")
+                    .parquet(path)
+                )
+            return path
+
+        def _scan(*roots: str):
+            # the content-pinning full pass every reader pays: read the
+            # whole root, aggregate the per-cell inventory (16-row output,
+            # so collect forces every row and file open). Roots are read
+            # separately and unioned — Spark rejects one multi-root read
+            # over distinct partition directory trees.
+            df = spark.read.schema(_CODES_SCHEMA).parquet(roots[0])
+            for r in roots[1:]:
+                df = df.unionByName(
+                    spark.read.schema(_CODES_SCHEMA).parquet(r)
+                )
+            return lambda: len(inventory_agg(df).collect())
+
+        frag1 = _frag_root(1)
+        fragN = _frag_root(REPS)
+        comp_dir = tempfile.mkdtemp(prefix="frag_compact_")
+        atexit.register(shutil.rmtree, comp_dir, ignore_errors=True)
+        addedN = spark.read.schema(_CODES_SCHEMA).parquet(fragN)
+        compact_codes_root(spark, base_root, addedN, comp_dir)
+        out["frag"] = {
+            "data_ratio": REPS,
+            "delta_rows": delta_rows.count(),
+            "1cycle": {
+                "files": _n_parquet_files(base_root, frag1),
+                **measure(spark, "frag_scan@1cycle", _scan(base_root, frag1)),
+            },
+            f"{REPS}cycle": {
+                "files": _n_parquet_files(base_root, fragN),
+                **measure(
+                    spark, f"frag_scan@{REPS}cycle", _scan(base_root, fragN)
+                ),
+            },
+            "compacted": {
+                "files": _n_parquet_files(comp_dir),
+                **measure(spark, "frag_scan@compacted", _scan(comp_dir)),
+            },
+        }
+
     if tier in ("all", "stream"):
         # STREAMING tier (r09): the fifth workload axis. Claims under
         # measurement: (a) drain wall scales ~linearly with events at a
