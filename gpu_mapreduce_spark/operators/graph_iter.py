@@ -757,3 +757,153 @@ def ktruss_edges(
         f"{max_rounds} ({n_cur} edges still unsettled) — a truncated set"
         " is not a k-truss, so it is never returned; raise max_rounds"
     )
+
+
+BC_SCALE = 10**4  # betweenness fixed-point: 1.0 dependency unit == 10^4
+
+
+def betweenness_sources(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 30,
+    arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
+) -> tuple[DataFrame, int]:
+    """K-source partial betweenness centrality (Brandes 2001 restricted to
+    a fixed source set — the standard estimator at scale; SCALE.md r11
+    design 2, staged ahead of its registration).
+
+    Forward phase: layer-synchronous unweighted BFS from ALL sources at
+    once (the sssp_multi keyed-frontier discipline) carrying exact BIGINT
+    shortest-path counts sigma — layer d+1's sigma is the sum of its
+    layer-d predecessors' sigmas, and a vertex joins the tree at its
+    first (= shortest) depth via an anti-join against the visited set.
+
+    Backward phase: dependency accumulation one depth layer at a time,
+    deepest first, in fixed-point units of BC_SCALE:
+
+        delta_u = SUM over DAG edges u->w (dist_w = dist_u + 1) of
+                  (sigma_u * (BC_SCALE + delta_w)) div sigma_w
+
+    The floor division is applied per term, deterministically, so the
+    registered quantity is this exact integer estimator (replayable
+    verbatim by a SQL oracle), not an IEEE float; it understates the real
+    dependency by < 1 unit (1e-4) per tree edge on the path. Endpoint
+    convention: source layers (v == s) are excluded from the output, the
+    Brandes standard.
+
+    Returns ((v, bc_u) summed over sources for every vertex reached at
+    depth >= 1 from any source, bc_u in BC_SCALE units, max BFS depth).
+    Per round only (s, v, sigma/delta) BIGINT rows shuffle; the state
+    side broadcasts while |frontier|·|sources| is bounded
+    (``broadcast_state=False`` for the bucketed beyond-broadcast path,
+    as in sssp_multi). Raises on max_depth exhaustion (a truncated BFS
+    tree silently undercounts every dependency — the ktruss_edges
+    discipline)."""
+    if arcs is None:
+        arcs = prepare_arcs(edges)
+    spark = arcs.sparkSession
+    layer0 = spark.createDataFrame(
+        [(s, s, 1) for s in sources], "s bigint, v bigint, sigma bigint"
+    ).localCheckpoint(eager=True)
+    layers = [layer0]
+    visited = layer0.select(
+        F.col("s").alias("ts"), F.col("v").alias("tv")
+    ).localCheckpoint(eager=True)
+    depth = 0
+    for _ in range(max_depth):
+        cur = layers[-1]
+        nxt = (
+            arcs.join(_state_side(cur, broadcast_state), arcs.src == cur.v)
+            .groupBy(F.col("s"), F.col("dst").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = (
+            nxt.join(
+                visited,
+                (nxt.s == F.col("ts")) & (nxt.nv == F.col("tv")),
+                "left_anti",
+            )
+            .select("s", F.col("nv").alias("v"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():  # ONE driver probe per round
+            break
+        depth += 1
+        layers.append(nxt)
+        visited = visited.unionAll(
+            nxt.select(F.col("s").alias("ts"), F.col("v").alias("tv"))
+        ).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"betweenness_sources: BFS not exhausted within max_depth="
+            f"{max_depth} — a truncated tree undercounts every dependency,"
+            " so it is never returned; raise max_depth"
+        )
+
+    # backward: deepest layer has delta 0; each shallower layer folds its
+    # successors' (sigma, delta) through the fixed-point dependency rule
+    dd = layers[depth].select(
+        "s", "v", "sigma", F.lit(0).cast("bigint").alias("delta")
+    )
+    parts = [] if depth == 0 else [dd]
+    for d in range(depth - 1, -1, -1):
+        wside = dd.select(
+            F.col("s").alias("ws"),
+            F.col("v").alias("wv"),
+            F.col("sigma").alias("wsig"),
+            F.col("delta").alias("wdelta"),
+        )
+        cand = arcs.join(
+            _state_side(wside, broadcast_state), arcs.dst == F.col("wv")
+        ).select(
+            F.col("ws").alias("cs"),
+            F.col("src").alias("cv"),
+            "wsig",
+            "wdelta",
+        )
+        uside = layers[d]
+        contrib = (
+            uside.join(
+                cand,
+                (uside.s == F.col("cs")) & (uside.v == F.col("cv")),
+            )
+            .groupBy(F.col("cs"), F.col("cv"))
+            .agg(
+                F.sum(
+                    F.expr(f"(sigma * ({BC_SCALE} + wdelta)) div wsig")
+                )
+                .cast("bigint")
+                .alias("nd")
+            )
+        )
+        dd = (
+            uside.join(
+                contrib,
+                (uside.s == F.col("cs")) & (uside.v == F.col("cv")),
+                "left",
+            )
+            .select(
+                uside.s,
+                uside.v,
+                "sigma",
+                F.coalesce(F.col("nd"), F.lit(0))
+                .cast("bigint")
+                .alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if d >= 1:
+            parts.append(dd)
+    if not parts:
+        empty = spark.createDataFrame([], "v bigint, bc_u bigint")
+        return empty, depth
+    allv = parts[0]
+    for p in parts[1:]:
+        allv = allv.unionAll(p)
+    bc = (
+        allv.groupBy("v")
+        .agg(F.sum("delta").cast("bigint").alias("bc_u"))
+        .orderBy("v")
+    )
+    return bc, depth

@@ -143,6 +143,9 @@ def load_all() -> dict[str, QueryDef]:
             nprobe_curve,
             # r10 tail (same discipline: new modules at the END)
             ktruss,
+            hll_rollup,
+            zorder,
+            dup_span,
         )
 
         _loaded = True

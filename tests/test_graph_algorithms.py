@@ -367,3 +367,41 @@ def test_ktruss_model(spark):
 
     with _pytest.raises(ValueError, match="k >= 3"):
         graph_iter.ktruss_edges(edges, 2)
+
+
+def test_betweenness_sources_model(spark):
+    """betweenness_sources on a hand graph where sigma and delta are
+    computable by hand: diamond 0-1-3 / 0-2-3 plus pendant path 3-4.
+
+    From source 0: dist 0/1/1/2/3, sigma 1/1/1/2/2; fixed-point deltas
+    (BC_SCALE units) delta_3 = (2*(1e4+0)) div 2 = 1e4, delta_1 = delta_2
+    = (1*(1e4+1e4)) div 2 = 1e4, delta_4 = 0. From source 4 (symmetric
+    chain): delta_3 = 3e4, delta_1 = delta_2 = 5000, delta_0 excluded
+    (source) and 0's delta from source 4 is 0 anyway (leaf)."""
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    bc, depth = graph_iter.betweenness_sources(edges, [0])
+    assert depth == 3
+    got = {r.v: r.bc_u for r in bc.collect()}
+    assert got == {1: 10000, 2: 10000, 3: 10000, 4: 0}
+
+    bc2, depth2 = graph_iter.betweenness_sources(edges, [0, 4])
+    assert depth2 == 3
+    got2 = {r.v: r.bc_u for r in bc2.collect()}
+    # sums over both sources; sources excluded from their own tree but
+    # present as ordinary vertices of the other's
+    assert got2 == {
+        0: 0,  # leaf of source 4's tree
+        1: 10000 + 5000,
+        2: 10000 + 5000,
+        3: 10000 + 30000,
+        4: 0,  # leaf of source 0's tree
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        graph_iter.betweenness_sources(edges, [0], max_depth=2)
