@@ -146,6 +146,7 @@ def load_all() -> dict[str, QueryDef]:
             hll_rollup,
             zorder,
             dup_span,
+            betweenness,
         )
 
         _loaded = True
