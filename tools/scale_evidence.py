@@ -304,7 +304,7 @@ def main() -> None:
     UI = f"{spark.sparkContext.uiWebUrl}/api/v1"
     spark.range(1000).count()
     build_10x_docs(spark)
-    from gpu_mapreduce_spark.operators import graph_iter, rmat
+    from gpu_mapreduce_spark.operators import graph, graph_iter, rmat
     from gpu_mapreduce_spark.registry import load_all
 
     tier = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -345,6 +345,23 @@ def main() -> None:
                 lambda: graph_iter.luby_find(edges, seed=42)[0].count(),
             ),
         }
+        # r10 additions. tri_count IS ktruss_decomposition's per-round
+        # bill (the peel re-runs exactly this wedge-intersection recount
+        # each round, rounds bounded by peeling depth) — measuring the
+        # recount at 8x pins the operator's scale posture without
+        # committing to an unknown peel depth on the denser generated
+        # graph. betweenness is the full forward+backward K-source pass.
+        canon = graph.edge_upper(edges).localCheckpoint(eager=True)
+        res["tri_count"] = measure(
+            spark, f"tri_count@L{n_levels}",
+            lambda: len(graph.tri_count(canon).collect()),
+        )
+        res["betweenness_4src"] = measure(
+            spark, f"betweenness@L{n_levels}",
+            lambda: graph_iter.betweenness_sources(
+                canon, [0, 1, 2, 3]
+            )[0].count(),
+        )
         edges.unpersist()
         return res
 
