@@ -75,6 +75,26 @@ def _dims(div: str) -> tuple[str, str]:
 
 _ORACLE_AU, _ORACLE_TB = _dims("//")
 
+
+def zed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events annotated with (au, tb, zcell) — the z-clustering
+    projection shared by the full rewrite and the incremental path."""
+    au_sql, tb_sql = _dims("div")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(au_sql).cast("bigint").alias("au"),
+        F.expr(tb_sql).cast("bigint").alias("tb"),
+    )
+    return ev.select(
+        "*",
+        F.expr(
+            f"({z_interleave_sql('au', 'tb', 'div')}) div {_CELL_SHIFT}"
+        )
+        .cast("bigint")
+        .alias("zcell"),
+    )
+
+
 @register(
     "zorder_layout",
     tags=("sources", "events", "pushdown", "incremental"),
@@ -106,20 +126,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rewrite events z-clustered on (user bucket, time bucket), read the
     at-rest result back, and publish the per-cell inventory: content
     digest + both-dimension spans (the pruning metadata)."""
-    au_sql, tb_sql = _dims("div")
-    ev = table(spark, sf_dir, "events").select(
-        "event_id",
-        F.expr(au_sql).cast("bigint").alias("au"),
-        F.expr(tb_sql).cast("bigint").alias("tb"),
-    )
-    zed = ev.select(
-        "*",
-        F.expr(
-            f"({z_interleave_sql('au', 'tb', 'div')}) div {_CELL_SHIFT}"
-        )
-        .cast("bigint")
-        .alias("zcell"),
-    )
+    zed = zed_events(spark, sf_dir)
 
     def build(path: str) -> DataFrame:
         # the layout op itself: co-locate each cell's rows (repartition on

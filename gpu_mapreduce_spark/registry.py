@@ -147,6 +147,7 @@ def load_all() -> dict[str, QueryDef]:
             zorder,
             dup_span,
             betweenness,
+            zorder_inc,
         )
 
         _loaded = True

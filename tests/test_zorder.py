@@ -77,3 +77,62 @@ def test_zorder_range_predicates_prune_to_few_cells(spark):
         .count()
     )
     assert n_tb_touched == n_tb_total
+
+
+def test_zorder_partial_compaction_preserves_untouched_files(spark, tmp_path):
+    """zorder_incremental's novelty over the digest gate: untouched cell
+    directories survive partial compaction BYTE-IDENTICAL (the
+    manifest-repoint analog), and every touched cell compacts to exactly
+    one data file. A row digest cannot see file bytes, so this is pinned
+    from the listing."""
+    import filecmp
+    import os
+
+    from gpu_mapreduce_spark.queries.zorder import zed_events
+    from gpu_mapreduce_spark.queries.zorder_inc import (
+        _MOD,
+        _REM,
+        partial_compact,
+    )
+
+    zed = zed_events(spark, _SF)
+    base_root = str(tmp_path / "base")
+    (
+        zed.filter(F.col("event_id") % _MOD != _REM)
+        .repartition(F.col("zcell"))
+        .write.partitionBy("zcell")
+        .parquet(base_root)
+    )
+    # restrict the delta to a band of cells so the untouched set is
+    # non-empty (the natural sf0.01 delta touches all 64)
+    delta = zed.filter(
+        (F.col("event_id") % _MOD == _REM) & (F.col("zcell") < 8)
+    )
+    out_root = str(tmp_path / "compact")
+    touched, untouched = partial_compact(spark, base_root, delta, out_root)
+    assert touched and untouched
+
+    for c in untouched:
+        a, b = f"{base_root}/zcell={c}", f"{out_root}/zcell={c}"
+        fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
+        assert fa == fb, c
+        for f in fa:
+            assert filecmp.cmp(f"{a}/{f}", f"{b}/{f}", shallow=False), (c, f)
+    for c in touched:
+        parts = [
+            f
+            for f in os.listdir(f"{out_root}/zcell={c}")
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (c, parts)
+    # row-content identity of the whole compacted root
+    back = spark.read.parquet(out_root)
+    want = zed.filter(
+        (F.col("event_id") % _MOD != _REM)
+        | ((F.col("event_id") % _MOD == _REM) & (F.col("zcell") < 8))
+    )
+    assert back.count() == want.count()
+    assert (
+        back.select(F.sum("event_id")).first()[0]
+        == want.select(F.sum("event_id")).first()[0]
+    )
