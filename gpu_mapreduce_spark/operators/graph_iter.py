@@ -938,3 +938,183 @@ def betweenness_sources(
         .orderBy("v")
     )
     return bc, depth
+
+
+def boruvka_msf(
+    wedges: DataFrame,
+    max_rounds: int = 20,
+    max_jumps: int = 30,
+) -> tuple[DataFrame, int]:
+    """Minimum spanning forest by Boruvka hooking (SCALE.md r11 design,
+    staged r10) — THE shuffle-friendly MSF: per outer round every
+    component picks its minimum incident edge under the strict total
+    order (wu, src, dst), those edges join the forest, and components
+    contract by pointer-jumping the resulting pseudo-forest.
+
+    Determinism: the (wu, src, dst) order is a strict total order on
+    edges even with duplicate weights, so the forest is UNIQUE — the
+    hash-gate requirement. The per-component argmin is ONE packed-BIGINT
+    min (wu * 2^40 + src * 2^20 + dst; valid while vertex ids < 2^20 and
+    wu < 2^22 — raised loudly below), map-side combinable, the suite's
+    packed-struct argmax discipline.
+
+    Contraction: parent(c) = other endpoint's component of c's min edge;
+    mutual pairs (p(p(c)) == c) break to the smaller id (the hooking
+    roots); then pointer-jump p = p(p) until fixed — depth halves per
+    jump, so jumps are O(log chain). Both loops cross the driver one
+    scalar per round (the pagerank discipline) and raise on bound
+    exhaustion rather than return a truncated forest (the
+    ktruss/betweenness discipline).
+
+    Returns ((src, dst, wu) forest edges canonical src < dst, outer
+    rounds). 100 TB: per round the edge list joins the broadcast-sized
+    component map twice (or shuffle-hash beyond broadcast range), the
+    argmin is one aggregate to <= |components| rows, and the
+    pointer-jump state is |components| rows shrinking geometrically."""
+    V_SHIFT = 1 << 20
+    bad = wedges.filter(
+        (F.col("src") >= V_SHIFT)
+        | (F.col("dst") >= V_SHIFT)
+        | (F.col("wu") >= (1 << 22))
+        | (F.col("src") < 0)
+        | (F.col("dst") < 0)
+        | (F.col("wu") < 0)
+    )
+    if not bad.isEmpty():
+        raise ValueError(
+            "boruvka_msf packing envelope: needs 0 <= src/dst < 2^20 and"
+            " 0 <= wu < 2^22 (re-pack for bigger graphs)"
+        )
+    canon = (
+        wedges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("wu").cast("bigint").alias("wu"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("wu").alias("wu"))  # parallel edges: keep the lightest
+        .localCheckpoint(eager=True)
+    )
+    spark = canon.sparkSession
+    comp = (
+        canon.select(F.col("src").alias("v"))
+        .unionAll(canon.select(F.col("dst").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    forest_parts: list[DataFrame] = []
+    rounds = 0
+    for _ in range(max_rounds):
+        cs = comp.select(F.col("v").alias("sv"), F.col("c").alias("cs"))
+        cd = comp.select(F.col("v").alias("dv"), F.col("c").alias("cd"))
+        ec = (
+            canon.join(F.broadcast(cs), canon.src == F.col("sv"))
+            .join(F.broadcast(cd), canon.dst == F.col("dv"))
+            .filter(F.col("cs") != F.col("cd"))
+            .select("src", "dst", "wu", "cs", "cd")
+        )
+        packed = (
+            F.col("wu") * F.lit(1 << 40)
+            + F.col("src") * F.lit(V_SHIFT)
+            + F.col("dst")
+        ).alias("pk")
+        arcs2 = ec.select(F.col("cs").alias("mc"), F.col("cd").alias("oc"), packed).unionAll(
+            ec.select(F.col("cd").alias("mc"), F.col("cs").alias("oc"), packed)
+        )
+        # per-component argmin edge in ONE map-side-combinable aggregate:
+        # min packed key decodes to the edge, min_by carries the other
+        # endpoint's component (pk is unique within a component — each
+        # edge contributes its two directions to two DIFFERENT mc groups)
+        m = arcs2.groupBy("mc").agg(
+            F.min("pk").alias("mpk"), F.min_by("oc", "pk").alias("oc")
+        ).localCheckpoint(eager=True)
+        if m.isEmpty():  # no cross-component edges anywhere: done
+            break
+        rounds += 1
+        forest_parts.append(
+            m.select(
+                (F.col("mpk") % V_SHIFT).alias("dst"),
+                ((F.col("mpk") / V_SHIFT).cast("bigint") % V_SHIFT).alias(
+                    "src"
+                ),
+                (F.col("mpk") / F.lit(1 << 40)).cast("bigint").alias("wu"),
+            )
+            .select("src", "dst", "wu")
+            .distinct()
+        )
+        # hooking: parent(c) = other endpoint's component of c's min edge;
+        # mutual pairs break to the smaller id (the roots of this round)
+        par = m.select(F.col("mc").alias("c"), F.col("oc").alias("p"))
+        par = par.alias("a").join(
+            par.select(F.col("c").alias("bc"), F.col("p").alias("bp")).alias(
+                "b"
+            ),
+            (F.col("a.p") == F.col("bc")) & (F.col("bp") == F.col("a.c")),
+            "left",
+        ).select(
+            F.col("a.c").alias("c"),
+            F.when(
+                F.col("bc").isNotNull() & (F.col("a.c") < F.col("a.p")),
+                F.col("a.c"),
+            )
+            .otherwise(F.col("a.p"))
+            .alias("p"),
+        )
+        # isolated components (no cross edge) point to themselves
+        par = (
+            comp.select(F.col("c").alias("ac"))
+            .distinct()
+            .join(par, F.col("ac") == par.c, "left")
+            .select(
+                F.col("ac").alias("c"),
+                F.coalesce("p", F.col("ac")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer-jump to the roots (depth halves per jump). Per jump the
+        # plan is par ⋈ par — 2^j joins of the last CHECKPOINTED par, so
+        # the lineage stays shallow while the loop runs few jumps; the
+        # convergence probe rides the SAME aggregate action (moved count),
+        # one driver scalar per jump, no per-jump checkpoint.
+        for _j in range(max_jumps):
+            nxt = par.select(F.col("c").alias("jc"), F.col("p").alias("jp"))
+            par2 = par.join(F.broadcast(nxt), par.p == F.col("jc")).select(
+                "c",
+                F.col("jp").alias("p"),
+                (F.col("jp") != F.col("p")).cast("int").alias("moved"),
+            )
+            moved = par2.agg(F.sum("moved")).collect()[0][0] or 0
+            par = par2.select("c", "p")
+            if moved == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"boruvka_msf: pointer-jump not settled in {max_jumps}"
+                " jumps; raise max_jumps"
+            )
+        par = par.localCheckpoint(eager=True)
+        # relabel every vertex to its component's new root
+        comp = (
+            comp.join(
+                F.broadcast(par.select(F.col("c").alias("rc"), "p")),
+                comp.c == F.col("rc"),
+            )
+            .select("v", F.col("p").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_msf: not contracted within max_rounds={max_rounds};"
+            " raise max_rounds"
+        )
+    if not forest_parts:
+        return (
+            spark.createDataFrame([], "src bigint, dst bigint, wu bigint"),
+            rounds,
+        )
+    forest = forest_parts[0]
+    for fpart in forest_parts[1:]:
+        forest = forest.unionAll(fpart)
+    return forest.distinct().orderBy("src", "dst"), rounds

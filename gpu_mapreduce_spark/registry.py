@@ -148,6 +148,7 @@ def load_all() -> dict[str, QueryDef]:
             dup_span,
             betweenness,
             zorder_inc,
+            msf,
         )
 
         _loaded = True

@@ -405,3 +405,43 @@ def test_betweenness_sources_model(spark):
 
     with _pytest.raises(RuntimeError, match="max_depth"):
         graph_iter.betweenness_sources(edges, [0], max_depth=2)
+
+
+def test_boruvka_msf_model(spark):
+    """boruvka_msf on hand graphs. Two triangles joined by a bridge:
+    round 1 hooks within each triangle (forest = both cheap pairs per
+    triangle), round 2 crosses the bridge — 5 forest edges, weight 16,
+    exactly 2 contraction rounds. An equal-weight 4-cycle pins the
+    duplicate-weight determinism: the (wu, src, dst) total order picks
+    {(0,1), (1,2), (0,3)} in ONE round."""
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    tri2 = spark.createDataFrame(
+        [
+            (0, 1, 1), (1, 2, 2), (0, 2, 3),
+            (3, 4, 1), (4, 5, 2), (3, 5, 3),
+            (2, 3, 10),
+        ],
+        "src bigint, dst bigint, wu bigint",
+    )
+    forest, rounds = graph_iter.boruvka_msf(tri2)
+    got = {(r.src, r.dst, r.wu) for r in forest.collect()}
+    assert got == {(0, 1, 1), (1, 2, 2), (3, 4, 1), (4, 5, 2), (2, 3, 10)}
+    assert rounds == 2
+
+    cyc = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5), (2, 3, 5), (0, 3, 5)],
+        "src bigint, dst bigint, wu bigint",
+    )
+    forest2, rounds2 = graph_iter.boruvka_msf(cyc)
+    got2 = {(r.src, r.dst, r.wu) for r in forest2.collect()}
+    assert got2 == {(0, 1, 5), (1, 2, 5), (0, 3, 5)}
+    assert rounds2 == 1
+
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [(0, 1 << 21, 1)], "src bigint, dst bigint, wu bigint"
+    )
+    with _pytest.raises(ValueError, match="packing envelope"):
+        graph_iter.boruvka_msf(big)
