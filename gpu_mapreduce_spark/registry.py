@@ -149,6 +149,7 @@ def load_all() -> dict[str, QueryDef]:
             betweenness,
             zorder_inc,
             msf,
+            zorder_stream,
         )
 
         _loaded = True
