@@ -150,6 +150,7 @@ def load_all() -> dict[str, QueryDef]:
             zorder_inc,
             msf,
             zorder_stream,
+            dup_span_inc,
         )
 
         _loaded = True
