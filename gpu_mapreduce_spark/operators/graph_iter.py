@@ -944,7 +944,7 @@ def boruvka_msf(
     wedges: DataFrame,
     max_rounds: int = 20,
     max_jumps: int = 30,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, int]:
     """Minimum spanning forest by Boruvka hooking (SCALE.md r11 design,
     staged r10) — THE shuffle-friendly MSF: per outer round every
     component picks its minimum incident edge under the strict total
@@ -967,7 +967,12 @@ def boruvka_msf(
     ktruss/betweenness discipline).
 
     Returns ((src, dst, wu) forest edges canonical src < dst, outer
-    rounds). 100 TB: per round the edge list joins the broadcast-sized
+    rounds, max effective pointer jumps in any round) — the jump count
+    lets a caller with an UNROLLED oracle assert its fixed jump depth
+    actually covered this run (ADVICE r10: the operator's max_jumps
+    admits depth 2^16 while msf_rmat's oracle unrolls 7 doublings; a
+    deeper chain must fail loudly at the guard, not as an opaque row
+    mismatch). 100 TB: per round the edge list joins the broadcast-sized
     component map twice (or shuffle-hash beyond broadcast range), the
     argmin is one aggregate to <= |components| rows, and the
     pointer-jump state is |components| rows shrinking geometrically."""
@@ -1006,6 +1011,7 @@ def boruvka_msf(
     )
     forest_parts: list[DataFrame] = []
     rounds = 0
+    max_jumps_used = 0  # effective (moved > 0) jumps in the worst round
     for _ in range(max_rounds):
         cs = comp.select(F.col("v").alias("sv"), F.col("c").alias("cs"))
         cd = comp.select(F.col("v").alias("dv"), F.col("c").alias("cd"))
@@ -1033,13 +1039,16 @@ def boruvka_msf(
         if m.isEmpty():  # no cross-component edges anywhere: done
             break
         rounds += 1
+        # decode with INTEGER division: `/` is DOUBLE division in Spark,
+        # which loses bits for mpk >= 2^53 (wu >= 2^13 under the 40-bit
+        # shift) and would silently corrupt src/wu INSIDE the documented
+        # wu < 2^22 envelope (ADVICE r10, verified: wu=2^22-1 decoded to
+        # wu+1 with src=0). `div` keeps the decode exact for all of it.
         forest_parts.append(
             m.select(
                 (F.col("mpk") % V_SHIFT).alias("dst"),
-                ((F.col("mpk") / V_SHIFT).cast("bigint") % V_SHIFT).alias(
-                    "src"
-                ),
-                (F.col("mpk") / F.lit(1 << 40)).cast("bigint").alias("wu"),
+                (F.expr(f"mpk div {V_SHIFT}") % V_SHIFT).alias("src"),
+                F.expr(f"mpk div {1 << 40}").alias("wu"),
             )
             .select("src", "dst", "wu")
             .distinct()
@@ -1089,6 +1098,7 @@ def boruvka_msf(
             par = par2.select("c", "p")
             if moved == 0:
                 break
+            max_jumps_used = max(max_jumps_used, _j + 1)
         else:
             raise RuntimeError(
                 f"boruvka_msf: pointer-jump not settled in {max_jumps}"
@@ -1113,8 +1123,9 @@ def boruvka_msf(
         return (
             spark.createDataFrame([], "src bigint, dst bigint, wu bigint"),
             rounds,
+            max_jumps_used,
         )
     forest = forest_parts[0]
     for fpart in forest_parts[1:]:
         forest = forest.unionAll(fpart)
-    return forest.distinct().orderBy("src", "dst"), rounds
+    return forest.distinct().orderBy("src", "dst"), rounds, max_jumps_used

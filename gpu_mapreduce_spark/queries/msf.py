@@ -125,7 +125,7 @@ def msf_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wu"),
     )
-    forest, rounds = graph_iter.boruvka_msf(
+    forest, rounds, jumps_used = graph_iter.boruvka_msf(
         w, max_rounds=_ROUNDS + 1, max_jumps=16
     )
     if rounds > _ROUNDS:
@@ -133,5 +133,15 @@ def msf_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"msf_rmat contracted in {rounds} rounds > oracle unroll"
             f" {_ROUNDS}; raise _ROUNDS (oracle shortfall, not an operator"
             " bug)"
+        )
+    # the oracle unrolls a FIXED _JUMPS pointer-jump doublings per round;
+    # the operator admits up to 16 — a deeper hook chain on a future
+    # fixture must fail HERE, loudly, not as an opaque row mismatch
+    # downstream (ADVICE r10, mirroring the rounds guard above)
+    if jumps_used > _JUMPS:
+        raise AssertionError(
+            f"msf_rmat pointer-jumped {jumps_used} times in a round >"
+            f" oracle unroll {_JUMPS}; raise _JUMPS (oracle shortfall,"
+            " not an operator bug)"
         )
     return forest

@@ -424,7 +424,7 @@ def test_boruvka_msf_model(spark):
         ],
         "src bigint, dst bigint, wu bigint",
     )
-    forest, rounds = graph_iter.boruvka_msf(tri2)
+    forest, rounds, jumps = graph_iter.boruvka_msf(tri2)
     got = {(r.src, r.dst, r.wu) for r in forest.collect()}
     assert got == {(0, 1, 1), (1, 2, 2), (3, 4, 1), (4, 5, 2), (2, 3, 10)}
     assert rounds == 2
@@ -433,7 +433,7 @@ def test_boruvka_msf_model(spark):
         [(0, 1, 5), (1, 2, 5), (2, 3, 5), (0, 3, 5)],
         "src bigint, dst bigint, wu bigint",
     )
-    forest2, rounds2 = graph_iter.boruvka_msf(cyc)
+    forest2, rounds2, jumps2 = graph_iter.boruvka_msf(cyc)
     got2 = {(r.src, r.dst, r.wu) for r in forest2.collect()}
     assert got2 == {(0, 1, 5), (1, 2, 5), (0, 3, 5)}
     assert rounds2 == 1
@@ -445,3 +445,23 @@ def test_boruvka_msf_model(spark):
     )
     with _pytest.raises(ValueError, match="packing envelope"):
         graph_iter.boruvka_msf(big)
+
+
+def test_boruvka_msf_decodes_top_of_envelope_exactly(spark):
+    """ADVICE r10: the packed-argmin decode used `/` (DOUBLE division in
+    Spark), which loses bits for packed keys >= 2^53 — wu >= 2^13 under
+    the 40-bit shift, deep INSIDE the documented wu < 2^22 envelope
+    (wu=2^22-1 decoded to wu+1 with src=0). Pin the fix: the very top of
+    the envelope (wu = 2^22-1, src/dst = 2^20-2 / 2^20-1, packed ~2^62)
+    round-trips exactly through the integer-div decode."""
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    wu, src, dst = (1 << 22) - 1, (1 << 20) - 2, (1 << 20) - 1
+    one = spark.createDataFrame(
+        [(src, dst, wu)], "src bigint, dst bigint, wu bigint"
+    )
+    forest, rounds, jumps = graph_iter.boruvka_msf(one)
+    assert {(r.src, r.dst, r.wu) for r in forest.collect()} == {
+        (src, dst, wu)
+    }
+    assert rounds == 1 and jumps == 0
