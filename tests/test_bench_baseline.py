@@ -65,6 +65,11 @@ def test_bench_stdout_line_fits_driver_tail_capture():
     # 'value' stays the exact sum of the ROUNDED entries (ADVICE r09):
     # internally consistent stdout, no reconciliation drift
     assert payload["value"] == round(sum(9999.99 for _ in big), 2)
+    # ...and under elision the line stays SELF-consistent (ADVICE r10):
+    # value == sum of the surviving entries + the elided entries' total
+    assert payload["value"] == round(
+        sum(payload["queries"].values()) + payload["elided_total"], 2
+    )
 
 
 def test_bench_stdout_value_is_sum_of_rounded_queries():

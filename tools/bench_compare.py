@@ -9,7 +9,12 @@ the ratio, flagging anything past the 2x regression bar (BASELINE.md
 "Consolidated r04 bench-set baseline"). Queries whose baseline is an r04
 local range compare against the range's upper end. A baselined query that
 errored or vanished from the run counts as a regression — bench.py's
-fault isolation must never read as a pass. (Corollary: artifacts recorded
+fault isolation must never read as a pass. A flag is cleared ONLY by the
+run's own sidecar `rebench` map (same run_id): bench.py re-runs suspects
+in a fresh JVM at end of run when load contaminated the capture, and a
+flag whose isolated min AND median sit under 2x is load, not plan — the
+adjudication the r09/r10 artifacts needed by hand, now in-artifact.
+(Corollary: artifacts recorded
 BEFORE a query joined the bench set, e.g. BENCH_r03 vs the r04 baseline
 table, flag those later additions as missing — the gate is for current
 runs, strictness is the point.)
@@ -46,12 +51,18 @@ def main() -> None:
     # an artifact on samples some OTHER local run wrote would let foreign
     # regime noise pass/fail the run actually under judgment.
     samples = payload.get("samples") or {}
+    # Isolated in-run rebench results (bench.py's end-of-run adjudication,
+    # r11): per-suspect fresh-JVM samples recorded in the SAME sidecar,
+    # usable only under the same run_id match as `samples` — adjudicating
+    # a flag against some other run's rebench would defeat the gate.
+    rebench: dict = {}
     if not samples:
         sidecar = _BASELINE_PATH.parent / "BENCH_TELEMETRY.json"
         try:
             sc = json.loads(sidecar.read_text())
             if sc.get("run_id") and sc.get("run_id") == payload.get("run_id"):
                 samples = sc.get("samples", {})
+                rebench = sc.get("rebench", {})
             else:
                 print(
                     "# sidecar run_id mismatch — min-only compare, no "
@@ -89,6 +100,24 @@ def main() -> None:
             # failure, not an annotation (ADVICE r06).
             flag = "  <-- REGRESSION (median >2x after re-sampling)"
             regressions.append(name)
+        if regressions and regressions[-1] == name and name in rebench:
+            # Machine-readable adjudication (r11): the run itself re-ran
+            # this suspect in a FRESH JVM (tools/rebench.py protocol)
+            # because end-of-run load exceeded the gate or the min broke
+            # 2x. A genuine plan regression is slow there too; a
+            # load/regime hit is not. Clear the flag only when BOTH the
+            # isolated min and isolated median sit under the bar.
+            rsmp = sorted(rebench[name].get("samples", []))
+            if (
+                rsmp
+                and min(rsmp) <= 2.0 * base
+                and rsmp[len(rsmp) // 2] <= 2.0 * base
+            ):
+                regressions.pop()
+                flag = (
+                    f"  [ADJUDICATED: isolated rebench {min(rsmp):.3f}s"
+                    f" ({min(rsmp) / base:.2f}x), samples {rsmp}]"
+                )
         print(f"{name:32s} {sec:8.3f} {base:8.3f} {ratio:6.2f} "
               f"{max(smp):8.3f}{flag}{regime}")
     # a baselined query that ERRORED or silently vanished from the run is
