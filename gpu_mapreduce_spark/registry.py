@@ -151,6 +151,9 @@ def load_all() -> dict[str, QueryDef]:
             msf,
             zorder_stream,
             dup_span_inc,
+            # r11 tail (same discipline: new modules at the END)
+            hist_rollup,
+            dup_span_ingest,
         )
 
         _loaded = True
