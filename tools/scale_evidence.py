@@ -63,7 +63,7 @@ per-stage shuffle read/write and spill DELTAS summed from the Spark UI
 REST API across the timed runs (metrics are per-run-pair, halved for
 per-run figures). Run on an idle machine; total ~6-10 min.
 
-    python tools/scale_evidence.py [text|graph|rel|emb|all]  # one JSON line
+    python tools/scale_evidence.py [text|graph|rel|emb|pq|frag|layout|stream|all]
 
 Results are transcribed into SCALE.md's "Measured 10x scaling" table.
 """
@@ -695,6 +695,263 @@ def main() -> None:
             "compacted": {
                 "files": _n_parquet_files(comp_dir),
                 **measure(spark, "frag_scan@compacted", _scan(comp_dir)),
+            },
+        }
+
+    if tier in ("all", "layout"):
+        # LAYOUT tier (r11, VERDICT r10 #5): the z-ordered relational
+        # layout — the one registered tier without a decade row. Claims
+        # under measurement: (a) the trilogy's three physical paths (full
+        # rewrite / append+partial-compact / stream ingest) scale
+        # ~linearly in events on the FIXED 64-cell z-grid — 10x data is
+        # 10x rows per cell, cell count constant, so the repartition
+        # shuffle grows linearly and the write fan-out doesn't; (b) the
+        # fragmentation axis (index_compaction's protocol on the z-root):
+        # REPS append cycles before compaction multiply the per-cell file
+        # count, read-amplification is measured at 1 vs REPS cycles, then
+        # undone by ONE partial compaction.
+        import atexit
+        import tempfile
+
+        from gpu_mapreduce_spark.queries.zorder import zed_events
+        from gpu_mapreduce_spark.queries.zorder_inc import (
+            _MOD as _ZMOD,
+            _REM as _ZREM,
+            partial_compact,
+        )
+
+        def build_10x_events_layout() -> str:
+            # own subdir (NOT SF10X/events.parquet — the side-table copy
+            # there is 1x by design for the other tiers); replica k shifts
+            # event_id by k*1e7 (divisible by 8, so the delta split stays
+            # exactly 1/8 per replica) and user_id by k*1e4 (au stays
+            # uniform mod 64); ts unchanged — tb stays in the documented
+            # envelope, so 10x densifies the fixed grid, which is the claim
+            out_dir = f"{SF10X}/layout{REPS}x"
+            dst = f"{out_dir}/events.parquet"
+            if os.path.exists(dst):
+                return out_dir
+            os.makedirs(out_dir, exist_ok=True)
+            e = spark.read.parquet(f"{SF1X}/events.parquet")
+            parts = [e]
+            for k in range(1, REPS):
+                parts.append(
+                    e.select(
+                        (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                        "ts",
+                        (F.col("user_id") + k * 10_000).alias("user_id"),
+                        "event_type", "value", "props",
+                    )
+                )
+            ev = parts[0]
+            for p in parts[1:]:
+                ev = ev.unionAll(p)
+            tmp = f"{out_dir}/_ev_build"
+            ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            return out_dir
+
+        def _zinv_count(*roots: str) -> int:
+            # the content-pinning full pass every reader pays: union the
+            # roots, aggregate the per-cell inventory (64-row output, so
+            # collect forces every row and file open)
+            df = spark.read.parquet(roots[0]).select(
+                "event_id", F.col("zcell").cast("bigint").alias("zcell")
+            )
+            for r in roots[1:]:
+                df = df.unionByName(
+                    spark.read.parquet(r).select(
+                        "event_id",
+                        F.col("zcell").cast("bigint").alias("zcell"),
+                    )
+                )
+            return len(
+                df.groupBy("zcell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.array_sort(F.collect_list("event_id")).cast(
+                                "array<string>"
+                            ),
+                        )
+                    ).alias("dg"),
+                )
+                .collect()
+            )
+
+        def _n_pq_files(*roots: str) -> int:
+            n = 0
+            for root in roots:
+                for _dirpath, _dirs, files in os.walk(root):
+                    n += sum(f.endswith(".parquet") for f in files)
+            return n
+
+        def layout_suite(sf_like: str, label: str) -> dict:
+            zed = zed_events(spark, sf_like)
+            n_events = zed.count()
+
+            def full_rewrite() -> int:
+                path = tempfile.mkdtemp(prefix=f"zscale_full_{label}_")
+                (
+                    zed.repartition(F.col("zcell"))
+                    .write.mode("overwrite")
+                    .partitionBy("zcell")
+                    .parquet(path)
+                )
+                n = spark.read.parquet(path).count()
+                shutil.rmtree(path, ignore_errors=True)
+                return n
+
+            # base at rest built OUTSIDE the timed region (the amortized
+            # artifact every incremental consumer relies on)
+            base_root = tempfile.mkdtemp(prefix=f"zscale_base_{label}_")
+            atexit.register(shutil.rmtree, base_root, ignore_errors=True)
+            (
+                zed.filter(F.col("event_id") % _ZMOD != _ZREM)
+                .repartition(F.col("zcell"))
+                .write.mode("overwrite")
+                .partitionBy("zcell")
+                .parquet(base_root)
+            )
+            delta = (
+                zed.filter(F.col("event_id") % _ZMOD == _ZREM)
+                .localCheckpoint(eager=True)
+            )
+
+            def append_compact() -> int:
+                out = tempfile.mkdtemp(prefix=f"zscale_inc_{label}_")
+                partial_compact(spark, base_root, delta, out)
+                n = spark.read.parquet(out).count()
+                shutil.rmtree(out, ignore_errors=True)
+                return n
+
+            # stream source built untimed, like the registered query's
+            # session-memoized fixture: 4 files -> 4 microbatches
+            src_dir = tempfile.mkdtemp(prefix=f"zscale_src_{label}_")
+            atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
+            delta.repartition(4).write.mode("overwrite").parquet(src_dir)
+            zrows = "event_id bigint, au bigint, tb bigint, zcell bigint"
+
+            def stream_ingest() -> int:
+                path = tempfile.mkdtemp(prefix=f"zscale_stream_{label}_")
+
+                def ingest(batch_df, batch_id: int) -> None:
+                    batch_df.write.mode("overwrite").parquet(
+                        f"{path}/ingest_{batch_id}"
+                    )
+
+                q = (
+                    spark.readStream.schema(zrows)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src_dir)
+                    .writeStream.foreachBatch(ingest)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", f"{path}/_chk")
+                    .start()
+                )
+                q.awaitTermination()
+                n = (
+                    spark.read.schema(zrows)
+                    .parquet(f"{path}/ingest_*")
+                    .count()
+                )
+                shutil.rmtree(path, ignore_errors=True)
+                return n
+
+            return {
+                "n_events": n_events,
+                "full_rewrite": measure(
+                    spark, f"z_full@{label}", full_rewrite
+                ),
+                "append_partial_compact": measure(
+                    spark, f"z_inc@{label}", append_compact
+                ),
+                "stream_ingest": measure(
+                    spark, f"z_stream@{label}", stream_ingest
+                ),
+            }
+
+        layout_dir_10x = build_10x_events_layout()
+        out["layout"] = {
+            "data_ratio": REPS,
+            "1x": layout_suite(SF1X, "1x"),
+            f"{REPS}x": layout_suite(layout_dir_10x, f"{REPS}x"),
+        }
+
+        # fragmentation axis at 1x: REPS append cycles into the delta
+        # root before compaction (the index_compaction protocol)
+        zed1 = zed_events(spark, SF1X)
+        zbase = tempfile.mkdtemp(prefix="zfrag_base_")
+        atexit.register(shutil.rmtree, zbase, ignore_errors=True)
+        (
+            zed1.filter(F.col("event_id") % _ZMOD != _ZREM)
+            .repartition(F.col("zcell"))
+            .write.mode("overwrite")
+            .partitionBy("zcell")
+            .parquet(zbase)
+        )
+        zdelta = (
+            zed1.filter(F.col("event_id") % _ZMOD == _ZREM)
+            .localCheckpoint(eager=True)
+        )
+
+        def _zfrag_root(cycles: int) -> str:
+            path = tempfile.mkdtemp(prefix=f"zfrag{cycles}_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            for c in range(cycles):
+                (
+                    zdelta.filter(
+                        F.expr(f"event_id div {_ZMOD}") % cycles == c
+                    )
+                    .write.mode("append")
+                    .partitionBy("zcell")
+                    .parquet(path)
+                )
+            return path
+
+        zf1 = _zfrag_root(1)
+        zfN = _zfrag_root(REPS)
+        zcomp = tempfile.mkdtemp(prefix="zfrag_compact_")
+        atexit.register(shutil.rmtree, zcomp, ignore_errors=True)
+        partial_compact(
+            spark,
+            zbase,
+            spark.read.parquet(zfN).select(
+                "event_id", "au", "tb",
+                F.col("zcell").cast("bigint").alias("zcell"),
+            ),
+            zcomp,
+        )
+        out["layout_frag"] = {
+            "data_ratio": REPS,
+            "delta_rows": zdelta.count(),
+            "1cycle": {
+                "files": _n_pq_files(zbase, zf1),
+                **measure(
+                    spark, "zfrag_scan@1cycle",
+                    lambda: _zinv_count(zbase, zf1),
+                ),
+            },
+            f"{REPS}cycle": {
+                "files": _n_pq_files(zbase, zfN),
+                **measure(
+                    spark, f"zfrag_scan@{REPS}cycle",
+                    lambda: _zinv_count(zbase, zfN),
+                ),
+            },
+            "compacted": {
+                "files": _n_pq_files(zcomp),
+                **measure(
+                    spark, "zfrag_scan@compacted",
+                    lambda: _zinv_count(zcomp),
+                ),
             },
         }
 
