@@ -110,6 +110,14 @@ def hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = hourly.groupBy("d", "bin").agg(
         F.sum("n_h").cast("bigint").alias("n")
     )
+    return daily_to_output(daily)
+
+
+def daily_to_output(daily: DataFrame) -> DataFrame:
+    """(d, bin, n) daily bin counts -> the registered output shape
+    (d, bin, n, cum_n, q_sum) — shared by the batch rollup above and the
+    streaming ingest dual (stream_hist_ingest), so 'one oracle, many
+    physical paths' compares the identical final projection."""
     # ONE window over the AGGREGATED table (<= 31 rows per day-partition,
     # partitioned by d and ordered by bin — never a global sort); the
     # per-day totals come from a broadcast-joined aggregate instead of a

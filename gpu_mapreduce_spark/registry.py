@@ -154,6 +154,8 @@ def load_all() -> dict[str, QueryDef]:
             # r11 tail (same discipline: new modules at the END)
             hist_rollup,
             dup_span_ingest,
+            cms_rollup,
+            hist_stream,
         )
 
         _loaded = True
