@@ -1129,3 +1129,86 @@ def boruvka_msf(
     for fpart in forest_parts[1:]:
         forest = forest.unionAll(fpart)
     return forest.distinct().orderBy("src", "dst"), rounds, max_jumps_used
+
+
+def hyperball_registers(
+    edges: DataFrame,
+    max_rounds: int = 20,
+) -> tuple[DataFrame, int]:
+    """HyperBall register propagation (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013; also
+    HADI, Kang et al. 2011) — per-vertex HLL sketches of the growing
+    reachability ball, the way neighborhood functions and distance
+    distributions are computed at scale. Staged r11 for the SCALE.md r12
+    hyperball_neighborhood registration (the betweenness_sources
+    discipline: operator + model test first, wiring next round).
+
+    State is the SPARSE register table (v, b, reg): the hll_rollup
+    derivation applied to neighbor VERTEX IDS (portable hash60 of the id
+    string; b = h mod 64, reg = rho) — absent buckets contribute nothing
+    to a max fold, so sparsity is exact, and state is bounded by
+    |V| * 64 rows regardless of graph size. Initialization: each vertex
+    holds the one-element sketch of {itself}.
+
+    Per round: reg'(v, b) = max(reg(v, b), max over in-neighbors u of
+    reg(u, b)) — ONE arcs ⋈ state join plus a map-side-combinable max
+    aggregate, register-wise max being exactly the mergeability law
+    hll_merge_rollup proves through the hash gate. Edges are treated as
+    undirected (both arc directions), matching the suite's graph tier.
+
+    Fixed point: when no register changes, reg(v, ·) IS the HLL sketch
+    of v's whole reachable set (max over a union = union of maxes —
+    associativity), which tests/test_graph_algorithms.py pins against a
+    brute-force per-vertex sketch on hand graphs. Convergence is probed
+    with ONE driver scalar per round (sum of all registers: max-folds
+    are monotone non-decreasing, so the sum is stationary iff the state
+    is), and the loop RAISES on bound exhaustion rather than return a
+    truncated ball (the ktruss/betweenness discipline).
+
+    Returns (sparse (v, b, reg) registers at the fixed point, rounds
+    actually propagated = the graph's effective diameter bound). 100 TB:
+    per round one edge-list join against a state table of <= 64 rows per
+    vertex, shuffling (v, b, reg) BIGINT triples only; no vertex ever
+    materializes its ball — that is the entire point of the sketch."""
+    from gpu_mapreduce_spark.functions.portable import hash60
+
+    m, rho_max = 64, 55  # queries/hll.py's register geometry
+    arcs = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = (
+        arcs.select(F.col("src").alias("v")).distinct()
+    )
+    h = hash60(F.col("v").cast("string"))
+    tail = F.shiftrightunsigned(h, 6)
+    state = verts.select(
+        "v",
+        (h % m).cast("bigint").alias("b"),
+        F.when(tail == 0, rho_max)
+        .otherwise(rho_max - F.length(F.bin(tail)))
+        .cast("bigint")
+        .alias("reg"),
+    ).localCheckpoint(eager=True)
+    prev_sum = state.agg(F.sum("reg")).collect()[0][0] or 0
+    rounds = 0
+    for _ in range(max_rounds):
+        nbr = arcs.join(state, arcs.dst == state.v).select(
+            F.col("src").alias("v"), "b", "reg"
+        )
+        folded = (
+            state.unionAll(nbr)
+            .groupBy("v", "b")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        # monotone max-fold: the register sum is stationary iff the
+        # whole state is — one scalar crosses the driver per round
+        cur_sum = folded.agg(F.sum("reg")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            return folded, rounds
+        state, prev_sum = folded, cur_sum
+        rounds += 1
+    raise RuntimeError(
+        f"hyperball_registers: not converged within max_rounds="
+        f"{max_rounds}; raise max_rounds (ball still growing)"
+    )

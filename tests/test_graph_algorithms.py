@@ -465,3 +465,49 @@ def test_boruvka_msf_decodes_top_of_envelope_exactly(spark):
         (src, dst, wu)
     }
     assert rounds == 1 and jumps == 0
+
+
+def test_hyperball_fixed_point_is_reachable_set_sketch(spark):
+    """hyperball_registers model check (staged r11 for the r12
+    registration): at the fixed point each vertex's sparse registers must
+    equal the HLL sketch of its ENTIRE reachable set, computed here by
+    brute force (max-fold over the component's per-vertex (bucket, rho)
+    pairs) — the register algebra's union law. Two components pin
+    no-cross-contamination; the path component pins multi-round
+    propagation (diameter 3 -> 3 effective rounds); the bound-exhaustion
+    raise is the ktruss/betweenness loud-failure discipline."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    state, rounds = graph_iter.hyperball_registers(edges)
+    # path 0-1-2-3 has diameter 3; vertex 0's ball stops growing after
+    # round 3, the bridge pair after round 1 — global fixed point at 3
+    assert rounds == 3
+
+    def sketch(vs):
+        regs = {}
+        for v in vs:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            b, tail = h % 64, h >> 6
+            # F.bin(x) prints bit_length(x) digits: rho = 55 - bitlength
+            rho = 55 if tail == 0 else 55 - tail.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    comp = {0: [0, 1, 2, 3], 1: [0, 1, 2, 3], 2: [0, 1, 2, 3],
+            3: [0, 1, 2, 3], 10: [10, 11], 11: [10, 11]}
+    got: dict[int, dict[int, int]] = {}
+    for r in state.collect():
+        got.setdefault(r.v, {})[r.b] = r.reg
+    assert set(got) == set(comp)
+    for v, vs in comp.items():
+        assert got[v] == sketch(vs), f"vertex {v} registers diverge"
+
+    with _pytest.raises(RuntimeError, match="not converged"):
+        graph_iter.hyperball_registers(edges, max_rounds=2)
