@@ -1170,37 +1170,11 @@ def hyperball_registers(
     per round one edge-list join against a state table of <= 64 rows per
     vertex, shuffling (v, b, reg) BIGINT triples only; no vertex ever
     materializes its ball — that is the entire point of the sketch."""
-    from gpu_mapreduce_spark.functions.portable import hash60
-
-    m, rho_max = 64, 55  # queries/hll.py's register geometry
-    arcs = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    verts = (
-        arcs.select(F.col("src").alias("v")).distinct()
-    )
-    h = hash60(F.col("v").cast("string"))
-    tail = F.shiftrightunsigned(h, 6)
-    state = verts.select(
-        "v",
-        (h % m).cast("bigint").alias("b"),
-        F.when(tail == 0, rho_max)
-        .otherwise(rho_max - F.length(F.bin(tail)))
-        .cast("bigint")
-        .alias("reg"),
-    ).localCheckpoint(eager=True)
+    arcs, state = _hyperball_init(edges)
     prev_sum = state.agg(F.sum("reg")).collect()[0][0] or 0
     rounds = 0
     for _ in range(max_rounds):
-        nbr = arcs.join(state, arcs.dst == state.v).select(
-            F.col("src").alias("v"), "b", "reg"
-        )
-        folded = (
-            state.unionAll(nbr)
-            .groupBy("v", "b")
-            .agg(F.max("reg").alias("reg"))
-            .localCheckpoint(eager=True)
-        )
+        folded = _hyperball_fold(arcs, state)
         # monotone max-fold: the register sum is stationary iff the
         # whole state is — one scalar crosses the driver per round
         cur_sum = folded.agg(F.sum("reg")).collect()[0][0] or 0
@@ -1212,3 +1186,57 @@ def hyperball_registers(
         f"hyperball_registers: not converged within max_rounds="
         f"{max_rounds}; raise max_rounds (ball still growing)"
     )
+
+
+def _hyperball_init(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bidirected arcs, round-0 state): each vertex's one-element sketch
+    of {itself} — hll_rollup's register geometry (portable hash60, m=64,
+    rho_max=55) applied to the vertex id string."""
+    from gpu_mapreduce_spark.functions.portable import hash60
+
+    m, rho_max = 64, 55  # queries/hll.py's register geometry
+    arcs = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = arcs.select(F.col("src").alias("v")).distinct()
+    h = hash60(F.col("v").cast("string"))
+    tail = F.shiftrightunsigned(h, 6)
+    state = verts.select(
+        "v",
+        (h % m).cast("bigint").alias("b"),
+        F.when(tail == 0, rho_max)
+        .otherwise(rho_max - F.length(F.bin(tail)))
+        .cast("bigint")
+        .alias("reg"),
+    ).localCheckpoint(eager=True)
+    return arcs, state
+
+
+def _hyperball_fold(arcs: DataFrame, state: DataFrame) -> DataFrame:
+    """One propagation round: reg'(v, b) = max(own, neighbors) — one
+    arcs ⋈ state join + a map-side-combinable max, checkpointed."""
+    nbr = arcs.join(state, arcs.dst == state.v).select(
+        F.col("src").alias("v"), "b", "reg"
+    )
+    return (
+        state.unionAll(nbr)
+        .groupBy("v", "b")
+        .agg(F.max("reg").alias("reg"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def hyperball_rounds(edges: DataFrame, n_rounds: int) -> list[DataFrame]:
+    """Exactly n_rounds HyperBall folds, returning EVERY intermediate
+    state [round 0 .. round n_rounds] — the distance-resolved form the
+    neighborhood-function registration needs (on an undirected graph the
+    FIXED POINT is per-component constant; the per-round states are
+    where |ball(v, r)| lives). Each state is checkpointed; no
+    convergence probe — the round count is the caller's contract with
+    its unrolled oracle."""
+    arcs, state = _hyperball_init(edges)
+    states = [state]
+    for _ in range(n_rounds):
+        state = _hyperball_fold(arcs, state)
+        states.append(state)
+    return states

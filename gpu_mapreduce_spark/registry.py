@@ -156,6 +156,7 @@ def load_all() -> dict[str, QueryDef]:
             dup_span_ingest,
             cms_rollup,
             hist_stream,
+            hyperball,
         )
 
         _loaded = True

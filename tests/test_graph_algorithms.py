@@ -511,3 +511,53 @@ def test_hyperball_fixed_point_is_reachable_set_sketch(spark):
 
     with _pytest.raises(RuntimeError, match="not converged"):
         graph_iter.hyperball_registers(edges, max_rounds=2)
+
+
+def test_hyperball_rmat_round3_registers_equal_exact_ball_sketches(spark):
+    """hyperball_rmat's estimator-honesty check, stronger than a recall
+    tolerance: on the canonical R-MAT graph, the round-3 registers of the
+    hub vertices {0,1,2,3} (betweenness_rmat's source set) must be
+    REGISTER-IDENTICAL to the brute-force HLL sketch of their exact BFS
+    radius-3 balls — the propagation computes precisely sketch(ball),
+    never an approximation of it; the HLL error enters only at
+    estimate-read-out time, which stays out of the gate."""
+    import hashlib
+    from collections import deque
+
+    from gpu_mapreduce_spark.operators import graph_iter
+    from gpu_mapreduce_spark.queries.kcore_rmat import _canon_arcs
+
+    edges, _ = _canon_arcs(spark)
+    states = graph_iter.hyperball_rounds(edges, 3)
+    got: dict[int, dict[int, int]] = {}
+    for r in states[3].collect():
+        got.setdefault(r.v, {})[r.b] = r.reg
+
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+
+    def ball(v: int, radius: int) -> set[int]:
+        seen, q = {v}, deque([(v, 0)])
+        while q:
+            u, d = q.popleft()
+            if d == radius:
+                continue
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    q.append((w, d + 1))
+        return seen
+
+    def sketch(vs) -> dict[int, int]:
+        regs: dict[int, int] = {}
+        for v in vs:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            b, tail = h % 64, h >> 6
+            rho = 55 if tail == 0 else 55 - tail.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    for hub in (0, 1, 2, 3):
+        assert got[hub] == sketch(ball(hub, 3)), f"hub {hub} diverges"
