@@ -157,6 +157,7 @@ def load_all() -> dict[str, QueryDef]:
             cms_rollup,
             hist_stream,
             hyperball,
+            sessionize,
         )
 
         _loaded = True
