@@ -213,6 +213,45 @@ def build_10x_embeddings(spark: SparkSession) -> str:
     return dst
 
 
+def build_10x_events(spark: SparkSession) -> str:
+    """REPS-x events table in its own subdir (NOT SF10X/events.parquet —
+    the side-table copy there is 1x by design for the text tier).
+    Replica k shifts event_id by k*1e7 (divisible by 8, so the suite's
+    1/8 delta split stays exact per replica) and user_id by k*1e4; ts
+    unchanged — so 10x DENSIFIES fixed grids (z-cells, histogram bins,
+    CMS cells, day grains), which is precisely what the layout and
+    sketch tiers measure. Returns the directory (usable as an sf_dir by
+    events-only queries)."""
+    out_dir = f"{SF10X}/layout{REPS}x"
+    dst = f"{out_dir}/events.parquet"
+    if os.path.exists(dst):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    e = spark.read.parquet(f"{SF1X}/events.parquet")
+    parts = [e]
+    for k in range(1, REPS):
+        parts.append(
+            e.select(
+                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * 10_000).alias("user_id"),
+                "event_type", "value", "props",
+            )
+        )
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionAll(p)
+    tmp = f"{out_dir}/_ev_build"
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    return out_dir
+
+
 def _stages() -> dict[tuple[int, int], dict]:
     try:
         apps = json.load(urllib.request.urlopen(f"{UI}/applications", timeout=5))
@@ -720,42 +759,6 @@ def main() -> None:
             partial_compact,
         )
 
-        def build_10x_events_layout() -> str:
-            # own subdir (NOT SF10X/events.parquet — the side-table copy
-            # there is 1x by design for the other tiers); replica k shifts
-            # event_id by k*1e7 (divisible by 8, so the delta split stays
-            # exactly 1/8 per replica) and user_id by k*1e4 (au stays
-            # uniform mod 64); ts unchanged — tb stays in the documented
-            # envelope, so 10x densifies the fixed grid, which is the claim
-            out_dir = f"{SF10X}/layout{REPS}x"
-            dst = f"{out_dir}/events.parquet"
-            if os.path.exists(dst):
-                return out_dir
-            os.makedirs(out_dir, exist_ok=True)
-            e = spark.read.parquet(f"{SF1X}/events.parquet")
-            parts = [e]
-            for k in range(1, REPS):
-                parts.append(
-                    e.select(
-                        (F.col("event_id") + k * 10_000_000).alias("event_id"),
-                        "ts",
-                        (F.col("user_id") + k * 10_000).alias("user_id"),
-                        "event_type", "value", "props",
-                    )
-                )
-            ev = parts[0]
-            for p in parts[1:]:
-                ev = ev.unionAll(p)
-            tmp = f"{out_dir}/_ev_build"
-            ev.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp)
-                if f.startswith("part-") and f.endswith(".parquet")
-            )
-            os.replace(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            return out_dir
-
         def _zinv_count(*roots: str) -> int:
             # the content-pinning full pass every reader pays: union the
             # roots, aggregate the per-cell inventory (64-row output, so
@@ -878,7 +881,7 @@ def main() -> None:
                 ),
             }
 
-        layout_dir_10x = build_10x_events_layout()
+        layout_dir_10x = build_10x_events(spark)
         out["layout"] = {
             "data_ratio": REPS,
             "1x": layout_suite(SF1X, "1x"),
@@ -954,6 +957,31 @@ def main() -> None:
                 ),
             },
         }
+
+    if tier in ("all", "sketch"):
+        # SKETCH-ROLLUP tier (r11): the mergeable-sketch trio's decade.
+        # All three rollups fold fine-grain partials into the day grain
+        # over FIXED sketch geometries (64 HLL registers, 32 histogram
+        # bins, 4x16 CMS cells) — 10x events densifies the grids, so the
+        # claims are: one linear fine-grain scan, fold shuffle bounded by
+        # the geometry (kilobytes, data-independent), stage topology
+        # invariant. Queries read only events, so the layout tier's 10x
+        # events dir serves as the sf_dir.
+        sketch_dir_10x = build_10x_events(spark)
+        out["sketch"] = {"data_ratio": REPS}
+        for name in ("hist_quantile_rollup", "cms_merge_rollup",
+                     "hll_merge_rollup"):
+            fn = qs[name].fn
+            out["sketch"][name] = {
+                "1x": measure(
+                    spark, f"{name}@1x",
+                    lambda: len(fn(spark, SF1X).collect()),
+                ),
+                f"{REPS}x": measure(
+                    spark, f"{name}@{REPS}x",
+                    lambda: len(fn(spark, sketch_dir_10x).collect()),
+                ),
+            }
 
     if tier in ("all", "stream"):
         # STREAMING tier (r09): the fifth workload axis. Claims under
