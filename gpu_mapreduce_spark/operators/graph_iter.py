@@ -1240,3 +1240,118 @@ def hyperball_rounds(edges: DataFrame, n_rounds: int) -> list[DataFrame]:
         state = _hyperball_fold(arcs, state)
         states.append(state)
     return states
+
+
+def jp_coloring(
+    edges: DataFrame,
+    seed: int = 0,
+    max_rounds: int = 60,
+) -> tuple[DataFrame, int]:
+    """Jones-Plassmann greedy graph coloring (Jones & Plassmann, "A
+    Parallel Graph Coloring Heuristic", SIAM J. Sci. Comput. 1993) —
+    staged r11 for the SCALE.md r12 jones_plassmann_coloring
+    registration (operator + model test first, the
+    betweenness/hyperball discipline).
+
+    Per round, every UNCOLORED vertex that is the strict local maximum
+    among its uncolored neighbors under the seeded priority total order
+    (hash60(f'jp{seed}|{v}'), v) — deterministic, hash-gateable, ties
+    impossible because v breaks them — takes the smallest color absent
+    from its already-colored neighborhood (min-absent over at most
+    deg(v) candidates, so color indices never exceed max degree).
+    Independent-set winners per round make concurrent choices safe: two
+    adjacent uncolored vertices can never both win a round.
+
+    Plan per round: ONE arcs ⋈ uncolored-state join for the local-max
+    test (map-side-combinable max of the packed neighbor priority), one
+    arcs ⋈ colored join + bounded sequence-explode anti-join for
+    min-absent, one scalar (remaining-uncolored count) across the
+    driver; raises on bound exhaustion rather than return a partial
+    coloring. State is (v, color) plus the shrinking uncolored set —
+    O(|V|) rows, never materializing neighborhoods.
+
+    Returns ((v, color) for every vertex, rounds). Validity (no
+    monochromatic edge) and exact hand-graph colors are pinned in
+    tests/test_graph_algorithms.py. 100 TB: the per-round bill is two
+    edge-list joins against broadcast-or-bucketed vertex state — the
+    luby_find posture with a color column; expected rounds O(log n)
+    on bounded-degree graphs (hub-heavy graphs serialize around hubs,
+    which the round bound makes loud instead of silent)."""
+    from gpu_mapreduce_spark.functions.portable import hash60
+
+    arcs = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # strict total order as ONE packed key: priority in the high bits,
+    # vertex id in the low 20 (the boruvka packing envelope discipline)
+    V_SHIFT = 1 << 20
+    bad = arcs.filter((F.col("src") >= V_SHIFT) | (F.col("src") < 0))
+    if not bad.isEmpty():
+        raise ValueError(
+            "jp_coloring packing envelope: needs 0 <= vertex id < 2^20"
+            " (re-pack for bigger graphs)"
+        )
+    pr = (
+        hash60(F.concat(F.lit(f"jp{seed}|"), F.col("v").cast("string")))
+        % (1 << 40)
+    ) * V_SHIFT + F.col("v")
+    uncolored = (
+        arcs.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", pr.alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    spark = uncolored.sparkSession
+    colored = spark.createDataFrame([], "v bigint, color bigint")
+    rounds = 0
+    for _ in range(max_rounds):
+        if uncolored.isEmpty():
+            return colored.orderBy("v"), rounds
+        rounds += 1
+        # local-max test among UNCOLORED neighbors only
+        un_s = uncolored.select(F.col("v").alias("uv"), F.col("p").alias("up"))
+        nbr_max = (
+            arcs.join(F.broadcast(un_s), arcs.dst == F.col("uv"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.max("up").alias("nmax"))
+        )
+        winners = (
+            uncolored.join(nbr_max, "v", "left")
+            .filter(F.col("nmax").isNull() | (F.col("p") > F.col("nmax")))
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        # min-absent color over each winner's already-colored neighbors:
+        # a winner with k colored neighbors needs only candidates 0..k
+        col_s = colored.select(F.col("v").alias("cv"), "color")
+        wn = winners.join(
+            arcs.join(F.broadcast(col_s), arcs.dst == F.col("cv")).select(
+                F.col("src").alias("v"), "color"
+            ),
+            "v",
+            "left",
+        )
+        used = wn.filter(F.col("color").isNotNull())
+        ncols = wn.groupBy("v").agg(
+            F.sum(F.col("color").isNotNull().cast("int")).alias("k")
+        )
+        cand = ncols.select(
+            "v", F.explode(F.expr("sequence(0, k)")).alias("c")
+        )
+        chosen = (
+            cand.join(
+                used.select("v", F.col("color").alias("c")),
+                ["v", "c"],
+                "left_anti",
+            )
+            .groupBy("v")
+            .agg(F.min("c").cast("bigint").alias("color"))
+        )
+        colored = colored.unionAll(chosen).localCheckpoint(eager=True)
+        uncolored = uncolored.join(winners, "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+    raise RuntimeError(
+        f"jp_coloring: not finished within max_rounds={max_rounds};"
+        " raise max_rounds (priority chains serialize around hubs)"
+    )

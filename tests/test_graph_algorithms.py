@@ -561,3 +561,77 @@ def test_hyperball_rmat_round3_registers_equal_exact_ball_sketches(spark):
 
     for hub in (0, 1, 2, 3):
         assert got[hub] == sketch(ball(hub, 3)), f"hub {hub} diverges"
+
+
+def _jp_sim(pairs, seed=0):
+    """Pure-Python Jones-Plassmann twin of graph_iter.jp_coloring: same
+    packed (hash-priority, vertex) total order, same winners-per-round,
+    same min-absent choice."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+
+    def p(v: int) -> int:
+        h = int(
+            hashlib.md5(f"jp{seed}|{v}".encode()).hexdigest()[:15], 16
+        ) % (1 << 40)
+        return h * (1 << 20) + v
+
+    color: dict[int, int] = {}
+    uncolored = set(adj)
+    rounds = 0
+    while uncolored:
+        rounds += 1
+        winners = [
+            v
+            for v in uncolored
+            if all(p(v) > p(u) for u in adj[v] if u in uncolored)
+        ]
+        for v in winners:
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        uncolored -= set(winners)
+    return color, rounds
+
+
+def test_jp_coloring_matches_simulation_and_is_proper(spark):
+    """jp_coloring model check (staged r11 for the r12 registration):
+    exact color-for-color agreement with the pure-Python JP twin on the
+    edges fixture AND a hand path graph; proper coloring (no
+    monochromatic edge); the packing-envelope raise."""
+    import pytest as _pytest
+
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    for pairs in (
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)],  # path: 2 colors
+        [(0, 1), (1, 2), (0, 2), (2, 3)],  # triangle + pendant: 3
+    ):
+        edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        colored, rounds = graph_iter.jp_coloring(edges)
+        got = {r.v: r.color for r in colored.collect()}
+        want, want_rounds = _jp_sim(pairs)
+        assert got == want
+        assert rounds == want_rounds
+        for s, d in pairs:
+            assert got[s] != got[d], f"monochromatic edge ({s},{d})"
+
+    edges = fixtures.edges_materialized(spark, SF_DIR)
+    colored, _rounds = graph_iter.jp_coloring(edges)
+    got = {r.v: r.color for r in colored.collect()}
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    want, _ = _jp_sim(pairs)
+    assert got == want
+
+    big = spark.createDataFrame(
+        [(0, 1 << 21)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(ValueError, match="packing envelope"):
+        graph_iter.jp_coloring(big)
