@@ -1246,6 +1246,8 @@ def jp_coloring(
     edges: DataFrame,
     seed: int = 0,
     max_rounds: int = 60,
+    arcs: DataFrame | None = None,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, int]:
     """Jones-Plassmann greedy graph coloring (Jones & Plassmann, "A
     Parallel Graph Coloring Heuristic", SIAM J. Sci. Comput. 1993) —
@@ -1274,14 +1276,23 @@ def jp_coloring(
     monochromatic edge) and exact hand-graph colors are pinned in
     tests/test_graph_algorithms.py. 100 TB: the per-round bill is two
     edge-list joins against broadcast-or-bucketed vertex state — the
-    luby_find posture with a color column; expected rounds O(log n)
-    on bounded-degree graphs (hub-heavy graphs serialize around hubs,
-    which the round bound makes loud instead of silent)."""
+    luby_find posture with a color column. Both state joins key on
+    arcs.src (neighbors read off dst — identical on the bidirected arc
+    set), so ``broadcast_state=False`` with
+    ``arcs=prepare_arcs_bucketed(...)`` is the beyond-broadcast-|V|
+    path: state shuffles to the arcs' src bucketing, the O(|E|) side
+    never moves, nothing is broadcast (round 1's uncolored set is ALL
+    of |V| — the largest state the operator ever holds, so a hard
+    broadcast there would be the scale ceiling; r11 ADVICE). Expected
+    rounds O(log n) on bounded-degree graphs; hub-heavy graphs
+    serialize around priority chains, which the round bound makes loud
+    instead of silent."""
     from gpu_mapreduce_spark.functions.portable import hash60
 
-    arcs = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    if arcs is None:
+        arcs = edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
     # strict total order as ONE packed key: priority in the high bits,
     # vertex id in the low 20 (the boruvka packing envelope discipline)
     V_SHIFT = 1 << 20
@@ -1308,11 +1319,13 @@ def jp_coloring(
         if uncolored.isEmpty():
             return colored.orderBy("v"), rounds
         rounds += 1
-        # local-max test among UNCOLORED neighbors only
+        # local-max test among UNCOLORED neighbors only: state joins on
+        # arcs.src, neighbors read off dst (identical on the bidirected
+        # set) — the key prepare_arcs_bucketed buckets by
         un_s = uncolored.select(F.col("v").alias("uv"), F.col("p").alias("up"))
         nbr_max = (
-            arcs.join(F.broadcast(un_s), arcs.dst == F.col("uv"))
-            .groupBy(F.col("src").alias("v"))
+            arcs.join(_state_side(un_s, broadcast_state), arcs.src == F.col("uv"))
+            .groupBy(F.col("dst").alias("v"))
             .agg(F.max("up").alias("nmax"))
         )
         winners = (
@@ -1325,9 +1338,9 @@ def jp_coloring(
         # a winner with k colored neighbors needs only candidates 0..k
         col_s = colored.select(F.col("v").alias("cv"), "color")
         wn = winners.join(
-            arcs.join(F.broadcast(col_s), arcs.dst == F.col("cv")).select(
-                F.col("src").alias("v"), "color"
-            ),
+            arcs.join(
+                _state_side(col_s, broadcast_state), arcs.src == F.col("cv")
+            ).select(F.col("dst").alias("v"), "color"),
             "v",
             "left",
         )

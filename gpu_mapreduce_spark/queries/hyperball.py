@@ -54,7 +54,11 @@ _M = 64
 _RHO_MAX = 55
 
 
-def _hyperball_oracle(rounds: int = _R) -> str:
+def _hyperball_cte_sql(rounds: int = _R) -> str:
+    """The WITH-chain through hb{rounds}: canonical R-MAT graph, register
+    init (hll.py's verbatim derivation), and `rounds` unrolled register
+    folds — shared with queries/hyperball_harmonic.py, whose estimator
+    read-out layers on the same hb{r} states."""
     parts = [
         _rmat_canon_sql(),
         f""", hverts AS MATERIALIZED (
@@ -85,6 +89,11 @@ def _hyperball_oracle(rounds: int = _R) -> str:
                 ) GROUP BY v, b
             )"""
         )
+    return "\n".join(parts)
+
+
+def _hyperball_oracle(rounds: int = _R) -> str:
+    parts = [_hyperball_cte_sql(rounds)]
     pooled = " UNION ALL ".join(
         f"""SELECT {r} AS r, CAST(-1 AS BIGINT) AS v,
                CAST(COUNT(*) AS BIGINT) AS n_regs,

@@ -51,20 +51,27 @@ _CC_STAGES_RMAT = 10  # measured: cc_find converges in 5 rounds; margin 5
 _TARGET = _NZ << _N
 
 
-def _rmat_edges_sql(k: int = _GEN_STAGES) -> str:
+def _rmat_edges_sql(
+    k: int = _GEN_STAGES, n: int = _N, nz: int = _NZ, seed: int = _SEED
+) -> str:
     """WITH-chain replaying the generate-and-cull loop: e{k} holds the final
     directed edge set. Round i draws `need` fresh attempt ids (scalar
     subqueries over round i-1's unique count), descends N quadrant levels
     per id with the portable hash, and re-culls globally — exactly
-    operators/rmat.rmat_edges."""
+    operators/rmat.rmat_edges. Parameterized over (n, nz, seed) so other
+    registrations can replay differently-sized instances (the r12 coloring
+    query uses a smaller N=10/Nz=2 graph — the unroll is intrinsic to the
+    priority chains, so the instance is sized to the oracle, not vice
+    versa)."""
     ab, abc = _A + _B, _A + _B + _C
+    target = nz << n
     u_expr = (
-        f"(('0x' || substr(md5('{_SEED}|' || CAST(id AS VARCHAR) || '|' ||"
+        f"(('0x' || substr(md5('{seed}|' || CAST(id AS VARCHAR) || '|' ||"
         f" CAST(l AS VARCHAR)), 1, 15))::BIGINT >> 7)::DOUBLE * {2.0 ** -53!r}"
     )
     parts = [
-        f"""WITH lv AS (SELECT unnest(generate_series(0, {_N - 1})) AS l),
-        m0 AS (SELECT CAST(0 AS BIGINT) AS gtot, CAST({_TARGET} AS BIGINT) AS need)"""
+        f"""WITH lv AS (SELECT unnest(generate_series(0, {n - 1})) AS l),
+        m0 AS (SELECT CAST(0 AS BIGINT) AS gtot, CAST({target} AS BIGINT) AS need)"""
     ]
     for i in range(1, k + 1):
         p = i - 1
@@ -76,7 +83,7 @@ def _rmat_edges_sql(k: int = _GEN_STAGES) -> str:
         parts.append(
             f""", g{i} AS MATERIALIZED (
                 SELECT (SELECT gtot FROM m{p}) + gs.g AS id
-                FROM generate_series(0, {_TARGET - 1}) gs(g)
+                FROM generate_series(0, {target - 1}) gs(g)
                 WHERE gs.g < (SELECT need FROM m{p})
             ), c{i} AS MATERIALIZED (
                 SELECT id,
@@ -84,23 +91,25 @@ def _rmat_edges_sql(k: int = _GEN_STAGES) -> str:
                        CAST(SUM(CASE WHEN (u >= {_A!r} AND u < {ab!r}) OR u >= {abc!r}
                                      THEN b ELSE 0 END) AS BIGINT) AS dst
                 FROM (SELECT id, l, {u_expr} AS u,
-                             (1::BIGINT << ({_N} - 1 - l)) AS b
+                             (1::BIGINT << ({n} - 1 - l)) AS b
                       FROM g{i}, lv)
                 GROUP BY id
             ), e{i} AS MATERIALIZED (
                 SELECT DISTINCT src, dst FROM ({union})
             ), m{i} AS (
                 SELECT (SELECT gtot FROM m{p}) + (SELECT need FROM m{p}) AS gtot,
-                       {_TARGET} - (SELECT COUNT(*) FROM e{i}) AS need
+                       {target} - (SELECT COUNT(*) FROM e{i}) AS need
             )"""
         )
     return "\n".join(parts)
 
 
-def _rmat_canon_sql(k: int = _GEN_STAGES) -> str:
+def _rmat_canon_sql(
+    k: int = _GEN_STAGES, n: int = _N, nz: int = _NZ, seed: int = _SEED
+) -> str:
     """Extend the edge chain with the canonicalized (edge_upper) graph."""
     return (
-        _rmat_edges_sql(k)
+        _rmat_edges_sql(k, n=n, nz=nz, seed=seed)
         + f""", canon AS MATERIALIZED (
             SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
             FROM e{k} WHERE src <> dst

@@ -158,6 +158,10 @@ def load_all() -> dict[str, QueryDef]:
             hist_stream,
             hyperball,
             sessionize,
+            # r12 tail (same discipline: new modules at the END)
+            coloring,
+            hyperball_harmonic,
+            sessionize_stream,
         )
 
         _loaded = True

@@ -585,6 +585,88 @@ def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
     )
 
 
+def sessionize_stream_ids(
+    events: DataFrame, gap_ms: int
+) -> DataFrame:
+    """The streaming dual of queries/sessionize.sessionize_events — the
+    same gap rule, the same 1-based per-user session ids, emitted with
+    the funnel tier's monotone ``emit_seq`` marker so 'keep the LAST row
+    per (user, session)' is derivable from row CONTENTS on any
+    append-mode sink.
+
+    State per user is FOUR BIGINTs plus the counter: (current session
+    id, open-session start/last/count, emit_seq) — never an event
+    buffer. Each batch folds its events (sorted by the batch's total
+    order (ts_ms, event_id)) into the open session: a proven gap emits
+    the closed session's FINAL row and opens the next id; the still-open
+    session is re-emitted as a PROVISIONAL snapshot whenever it changed,
+    so after any drain the max-emit_seq row per (user, session) is that
+    session's latest truth — open sessions included, which is what makes
+    stream-assembled output comparable to the batch query without a
+    state flush. Delivery contract: per-user event time must be
+    non-decreasing ACROSS batches (a time-ordered bus / the registered
+    query's time-sliced file feed); within a batch order is free. A
+    session spanning a batch boundary is exactly the state carry case.
+
+    Expects columns (user_id, event_id, ts_ms) — pre-projected epoch ms,
+    so the file-source feed needs no timestamp-zone handling. 100 TB:
+    state is O(active users) fixed-width rows; each emitted row is one
+    of at most sessions+batches rows per user, and the final
+    keep-max-emit_seq reduction is one co-partitioned aggregate."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        if state.exists:
+            sid, start, last, n, seq = state.get
+        else:
+            sid, start, last, n, seq = 0, -1, -1, 0, 0
+        out: dict[str, list] = {
+            "user_id": [], "session_id": [], "n_events": [],
+            "t_start_ms": [], "t_end_ms": [], "emit_seq": [],
+        }
+
+        def emit() -> None:
+            nonlocal seq
+            seq += 1
+            out["user_id"].append(user_id)
+            out["session_id"].append(sid)
+            out["n_events"].append(n)
+            out["t_start_ms"].append(start)
+            out["t_end_ms"].append(last)
+            out["emit_seq"].append(seq)
+
+        for ts in rows["ts_ms"]:
+            ts = int(ts)
+            if start < 0:
+                sid, start, last, n = sid + 1, ts, ts, 1
+            elif ts - last > gap_ms:
+                emit()  # closed session: final row
+                sid, start, last, n = sid + 1, ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        emit()  # open session: provisional snapshot (superseded by seq)
+        state.update((int(sid), int(start), int(last), int(n), int(seq)))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id bigint, session_id bigint, n_events bigint,"
+            " t_start_ms bigint, t_end_ms bigint, emit_seq bigint"
+        ),
+        stateStructType=(
+            "sid bigint, start bigint, last bigint, n bigint, seq bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

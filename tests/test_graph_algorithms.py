@@ -635,3 +635,42 @@ def test_jp_coloring_matches_simulation_and_is_proper(spark):
     )
     with _pytest.raises(ValueError, match="packing envelope"):
         graph_iter.jp_coloring(big)
+
+
+def test_jp_coloring_bucketed_shuffle_path_matches_broadcast(spark):
+    """The beyond-broadcast-|V| path for jp_coloring (r11 ADVICE: round 1's
+    uncolored set is ALL of |V|, so the hard-coded state broadcast was the
+    scale ceiling): bucketed-by-src arcs + SHUFFLE_HASH state hint must
+    color bit-identically to the broadcast path in the same round count,
+    and the per-round state ⋈ arcs join must be a ShuffledHashJoin with no
+    broadcast and no arc-side exchange."""
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    col_b, rounds_b = graph_iter.jp_coloring(edges)
+    barcs = graph_iter.prepare_arcs_bucketed(edges, tag="jpgraph")
+    col_s, rounds_s = graph_iter.jp_coloring(
+        edges, arcs=barcs, broadcast_state=False
+    )
+    assert rounds_b == rounds_s
+    assert sorted(map(tuple, col_b.collect())) == sorted(
+        map(tuple, col_s.collect())
+    )
+    # plan shape of one jp round's local-max join (the operator's exact
+    # join orientation: state on arcs.src, neighbors off dst)
+    un_s = (
+        barcs.select(F.col("src").alias("uv"))
+        .distinct()
+        .select("uv", F.col("uv").alias("up"))
+    )
+    joined = (
+        barcs.join(un_s.hint("shuffle_hash"), barcs.src == un_s.uv)
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.max("up").alias("nmax"))
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert not _exchange_above_arcs(plan), plan

@@ -358,3 +358,177 @@ def test_funnel_buffered_watermarked_feed_equals_batch(spark, tmp_path):
         for r in pipeline.funnel_stages_batch(ev).collect()
     }
     assert {u: v[1:] for u, v in last.items()} == want
+
+
+def test_stream_sessionize_ingest_equals_batch_and_replays_idempotently(
+    spark,
+):
+    """The r12 event-tier dual: stream-assembled sessions must equal
+    sessionize_events' batch output row-for-row, and re-writing any
+    microbatch's emit dir (foreachBatch's at-least-once retry) must not
+    change the assembled result — overwrite-per-batch idempotency."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.queries.sessionize_stream import (
+        _EMIT,
+        _FEED,
+        _GAP_MS,
+        _sliced_stream_dir,
+    )
+    from gpu_mapreduce_spark.registry import load_all
+
+    qs = load_all()
+    batch = qs["sessionize_events"].fn(spark, SF_DIR)
+    cols = [
+        "user_id", "session_id", "n_events", "t_start_ms", "t_end_ms",
+        "dur_s",
+    ]
+    want = _rows(batch, cols)
+
+    # drain into a kept scratch dir so the emit dirs survive for replay
+    path = tempfile.mkdtemp(prefix="sessionize_replay_")
+    try:
+        src_dir = _sliced_stream_dir(spark, SF_DIR)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{path}/emit_{batch_id}"
+            )
+
+        q = (
+            spark.readStream.schema(_FEED)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .transform(
+                lambda df: pipeline.sessionize_stream_ids(df, _GAP_MS)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{path}/_chk")
+            .start()
+        )
+        q.awaitTermination()
+        emit_dirs = sorted(glob.glob(f"{path}/emit_*"))
+        assert len(emit_dirs) == 4, emit_dirs  # one per time slice
+
+        def assemble():
+            emitted = spark.read.schema(_EMIT).parquet(f"{path}/emit_*")
+            latest = emitted.groupBy("user_id", "session_id").agg(
+                F.max(
+                    F.struct(
+                        "emit_seq", "n_events", "t_start_ms", "t_end_ms"
+                    )
+                ).alias("s")
+            )
+            return latest.select(
+                "user_id",
+                "session_id",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.t_start_ms").alias("t_start_ms"),
+                F.col("s.t_end_ms").alias("t_end_ms"),
+                F.expr(
+                    "CAST((s.t_end_ms - s.t_start_ms) div 1000 AS BIGINT)"
+                ).alias("dur_s"),
+            )
+
+        got = _rows(assemble(), cols)
+        assert got == want
+
+        # replay batch 1: rewrite its emit dir from its own rows (what a
+        # foreachBatch retry does) — the assembled result must not move
+        replay = spark.read.schema(_EMIT).parquet(emit_dirs[1]).collect()
+        shutil.rmtree(emit_dirs[1])
+        spark.createDataFrame(replay, _EMIT).write.mode(
+            "overwrite"
+        ).parquet(emit_dirs[1])
+        assert _rows(assemble(), cols) == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_sessionize_stream_ids_carries_sessions_across_batches(spark):
+    """State-carry semantics on a hand feed driven batch-by-batch: a
+    session spanning the batch boundary must keep its id and fold its
+    counts; the provisional open-session snapshot must be superseded by
+    the final row via max emit_seq."""
+    import pandas as pd
+
+    from gpu_mapreduce_spark.streaming.pipeline import sessionize_stream_ids
+
+    gap = 10_000
+    # user 7: batch A ends an open session (ts 0, 5k), batch B continues
+    # it (8k) then breaks it (50k) — one session (0..8k, n=3), one open
+    # (50k). user 8 appears only in batch B.
+    batch_a = [(7, 1, 0), (7, 2, 5_000)]
+    batch_b = [(7, 3, 8_000), (7, 4, 50_000), (8, 5, 1_000)]
+
+    import tempfile
+    import shutil
+    import glob
+    import os
+
+    src = tempfile.mkdtemp(prefix="carry_src_")
+    out = tempfile.mkdtemp(prefix="carry_out_")
+    try:
+        for i, batch in enumerate((batch_a, batch_b)):
+            tmp = tempfile.mkdtemp(prefix="carry_slice_")
+            spark.createDataFrame(
+                batch, "user_id bigint, event_id bigint, ts_ms bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            target = f"{src}/slice_{i}.parquet"
+            shutil.move(part, target)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(target, (1_000_000_000 + 60 * i,) * 2)
+
+        rows = []
+
+        def sink(batch_df, batch_id):
+            rows.append((batch_id, batch_df.collect()))
+
+        q = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, ts_ms bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .transform(lambda df: sessionize_stream_ids(df, gap))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out}/_chk")
+            .start()
+        )
+        q.awaitTermination()
+        assert len(rows) == 2
+        by_key = {}
+        for _bid, rs in rows:
+            for r in rs:
+                k = (r.user_id, r.session_id)
+                if (
+                    k not in by_key
+                    or r.emit_seq > by_key[k].emit_seq
+                ):
+                    by_key[k] = r
+        final = {
+            k: (v.n_events, v.t_start_ms, v.t_end_ms)
+            for k, v in by_key.items()
+        }
+        assert final == {
+            (7, 1): (3, 0, 8_000),  # folded across the boundary
+            (7, 2): (1, 50_000, 50_000),  # open at drain end
+            (8, 1): (1, 1_000, 1_000),
+        }
+        # batch A emitted the provisional (7,1) snapshot with n=2; the
+        # final n=3 row must carry a HIGHER emit_seq (the supersede law)
+        a_rows = {(r.user_id, r.session_id): r for r in rows[0][1]}
+        assert a_rows[(7, 1)].n_events == 2
+        assert by_key[(7, 1)].emit_seq > a_rows[(7, 1)].emit_seq
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
