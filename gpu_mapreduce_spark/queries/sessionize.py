@@ -25,9 +25,12 @@ shuffle is the whole cost; the documented cap is whale users (a
 single user's history must fit a task — millions of events per user is
 fine, and beyond that product analytics caps session lookback anyway;
 salting is inapplicable to an order-dependent fold and honesty beats a
-wrong trick). The streaming dual (native session_window /
-applyInPandasWithState) is the drafted follow-on once this batch
-oracle pins the semantics.
+wrong trick; the cap is QUANTIFIED in SCALE.md's r12 event-tier decade:
+a 1/10-of-all-rows whale is free, the bend starts ~10^6 events on one
+user at +35% wall, zero spill). The streaming dual landed r12:
+queries/sessionize_stream.py drains the same events through
+applyInPandasWithState and proves stream ≡ batch through this
+registration's VERBATIM oracle.
 """
 
 from __future__ import annotations

@@ -63,7 +63,7 @@ per-stage shuffle read/write and spill DELTAS summed from the Spark UI
 REST API across the timed runs (metrics are per-run-pair, halved for
 per-run figures). Run on an idle machine; total ~6-10 min.
 
-    python tools/scale_evidence.py [text|graph|rel|emb|pq|frag|layout|stream|all]
+    python tools/scale_evidence.py [text|graph|rel|emb|pq|frag|layout|stream|sketch|events|all]
 
 Results are transcribed into SCALE.md's "Measured 10x scaling" table.
 """
@@ -213,6 +213,68 @@ def build_10x_embeddings(spark: SparkSession) -> str:
     return dst
 
 
+def _assert_replica_envelope(e) -> None:
+    """The replica id shifts (event_id +k*1e7, user_id +k*1e4) assume the
+    1x table stays under those bounds — at a larger sf replica ids would
+    silently collide, corrupting the delta split and the reported data
+    ratio (r11 ADVICE). Assert loudly instead."""
+    mx = e.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    assert mx[0] < 10_000_000, f"event_id envelope: max {mx[0]} >= 1e7"
+    assert mx[1] < 10_000, f"user_id envelope: max {mx[1]} >= 1e4"
+
+
+_WHALE_USER = 77  # the whale's id (inside the 1x key space, by design)
+# how many of the REPS replicas the whale swallows (whale share =
+# WHALE_REPS/REPS of all rows); 1 = the 10% protocol point, REPS-1 = the
+# bend-finding extreme (one user owns ~90% of the stream)
+WHALE_REPS = int(os.environ.get("SPARK_GRAFT_WHALE_REPS", "1"))
+
+
+def build_10x_events_whale(spark: SparkSession) -> str:
+    """REPS-x events with a WHALE USER: replicas 1..WHALE_REPS are ALL
+    reassigned to one user id, so a single user carries
+    ~WHALE_REPS/REPS of every row (the cc_find_skew protocol applied to
+    the user_id shuffle) — the axis sessionize_events' docstring caps
+    honestly: an order-dependent per-user fold cannot salt, so the
+    whale's whole history lands in ONE task's window sort. Other
+    replicas shift ids exactly like build_10x_events; event_id stays
+    globally unique."""
+    out_dir = f"{SF10X}/whale{REPS}x_{WHALE_REPS}"
+    dst = f"{out_dir}/events.parquet"
+    if os.path.exists(dst):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    e = spark.read.parquet(f"{SF1X}/events.parquet")
+    _assert_replica_envelope(e)
+    parts = [e]
+    for k in range(1, REPS):
+        uid = (
+            F.lit(_WHALE_USER).cast("bigint")
+            if k <= WHALE_REPS
+            else (F.col("user_id") + k * 10_000)
+        )
+        parts.append(
+            e.select(
+                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                "ts",
+                uid.alias("user_id"),
+                "event_type", "value", "props",
+            )
+        )
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionAll(p)
+    tmp = f"{out_dir}/_ev_build"
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    return out_dir
+
+
 def build_10x_events(spark: SparkSession) -> str:
     """REPS-x events table in its own subdir (NOT SF10X/events.parquet —
     the side-table copy there is 1x by design for the text tier).
@@ -228,6 +290,7 @@ def build_10x_events(spark: SparkSession) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     e = spark.read.parquet(f"{SF1X}/events.parquet")
+    _assert_replica_envelope(e)
     parts = [e]
     for k in range(1, REPS):
         parts.append(
@@ -980,6 +1043,42 @@ def main() -> None:
                 f"{REPS}x": measure(
                     spark, f"{name}@{REPS}x",
                     lambda: len(fn(spark, sketch_dir_10x).collect()),
+                ),
+            }
+
+    if tier in ("all", "events"):
+        # EVENT-ANALYTICS tier (r12, VERDICT r11 #5): the per-user
+        # order-dependent folds — sessionize_events (two stacked windows
+        # on one user_id shuffle) and funnel_user_stages (chained
+        # ordered stages) — at 1x, REPSx, and REPSx with a WHALE user
+        # carrying ~1/REPS of ALL rows. Claims: (a) wall scales
+        # ~linearly in events at even key growth; (b) the whale axis
+        # measures where the uncuttable per-user task actually bends
+        # (the sessionize docstring's documented cap — salting is
+        # inapplicable to an order-dependent fold, honesty beats a
+        # wrong trick). Timed via count(): the outputs are one row per
+        # session/user (~1M rows at REPSx), so a collect would measure
+        # driver-side row shipping, not the shuffle/window path under
+        # test (the msf_rmat bench=False rationale).
+        ev10 = build_10x_events(spark)
+        evwhale = build_10x_events_whale(spark)
+        out["events"] = {
+            "data_ratio": REPS,
+            "whale_share": f"~{WHALE_REPS}/{REPS}",
+        }
+        for name in ("sessionize_events", "funnel_user_stages"):
+            fn = qs[name].fn
+            out["events"][name] = {
+                "1x": measure(
+                    spark, f"{name}@1x", lambda: fn(spark, SF1X).count()
+                ),
+                f"{REPS}x": measure(
+                    spark, f"{name}@{REPS}x",
+                    lambda: fn(spark, ev10).count(),
+                ),
+                f"{REPS}x_whale": measure(
+                    spark, f"{name}@{REPS}x_whale",
+                    lambda: fn(spark, evwhale).count(),
                 ),
             }
 
