@@ -86,6 +86,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
     )
+    return _sessionize(ev)
+
+
+def _sessionize(ev: DataFrame) -> DataFrame:
+    """The registered transform over a (user_id, event_id, ts_ms) frame —
+    shared with queries/sessionize_inc.py, which applies it to the base
+    half of the time split (the same code path the oracle gates, so the
+    incremental fold's baseline cannot drift)."""
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     flagged = ev.select(
         "user_id",

@@ -162,6 +162,8 @@ def load_all() -> dict[str, QueryDef]:
             coloring,
             hyperball_harmonic,
             sessionize_stream,
+            sessionize_inc,
+            theta_ops,
         )
 
         _loaded = True
