@@ -75,6 +75,7 @@ def _harmonic_oracle(rounds: int = _R) -> str:
 
 @register(
     "hyperball_harmonic",
+    bench=True,
     tags=("graph", "iterative", "sketch", "generator"),
     oracle=_harmonic_oracle(),
 )

@@ -144,6 +144,7 @@ inter AS (
 
 @register(
     "theta_sketch_ops",
+    bench=True,
     tags=("llm", "textstats", "sketch"),
     oracle=f"""
         {_SHINGLE_CTE}
