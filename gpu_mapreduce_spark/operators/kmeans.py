@@ -109,3 +109,157 @@ def kmeans_2d(
     return spark.createDataFrame(
         final, "k bigint, x_u bigint, y_u bigint, n bigint"
     )
+
+
+KPP_L = 4  # k-means|| oversampling factor per round
+KPP_ROUNDS = 4
+KPP_TAG = "kpp"
+KPP_CAP = 256  # loud bound on the candidate set (packing + sanity)
+
+
+def _d2_expr(cands: list[tuple[int, int, int]]):
+    """min squared distance to the chosen set — codegen least() over
+    |C| expressions, the `_assign` projection shape."""
+    terms = [
+        (F.col("xu") - F.lit(cx)) * (F.col("xu") - F.lit(cx))
+        + (F.col("yu") - F.lit(cy)) * (F.col("yu") - F.lit(cy))
+        for _id, cx, cy in cands
+    ]
+    return terms[0] if len(terms) == 1 else F.least(*terms)
+
+
+def kmeanspp_seed(
+    spark: SparkSession,
+    points: DataFrame,
+    k: int = K,
+    l: int = KPP_L,
+    rounds: int = KPP_ROUNDS,
+) -> DataFrame:
+    """k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB
+    2012) — the oversampling initialization real cluster jobs spend
+    their quality budget on, deterministic and hash-gateable:
+
+      * round 0 chooses the single point with the smallest
+        (hash60('kpp|id'), id) — the kmeans_2d init rule at size 1;
+      * each of `rounds` rounds computes d2(x) = exact integer squared
+        distance to the nearest chosen point (codegen least(), no join,
+        no shuffle), phi = sum d2 (ONE scalar across the driver), and
+        selects x iff  (hash60('kpp{r}|id') >> 7) * phi
+                       <  l * d2(x) * 2^53
+        — the uniform01 < l*d2/phi draw cross-multiplied into exact
+        integer form (both sides < 1e38: DECIMAL(38,0) on Spark,
+        HUGEINT in the oracle — the functions/hllest.py machinery), so
+        both engines pick the identical candidate set; already-chosen
+        points have d2 = 0 and can never re-select;
+      * candidate weights = nearest-candidate assignment counts (packed
+        argmin over idx, the _assign discipline at base KPP_CAP);
+      * reduction to k seeds is the deterministic greedy
+        max(w * min-d2-to-seeds) with (score DESC, idx ASC) tie-break,
+        run on the COLLECTED candidate table — O(k * |C|) integer ops
+        on ~20 rows (the theta_ops bounded-collect precedent; Bahmani's
+        weighted k-means++ re-cluster, made tie-free).
+
+    Returns one frame: candidates as (rank -1, id, xu, yu, w) plus the
+    chosen seeds as (rank 1..k, id, xu, yu, w). Raises loudly when the
+    draw yields fewer than k candidates or overflows KPP_CAP — never a
+    silent pad or trim. 100 TB: per round ONE scan with an O(|C|)-row
+    codegen projection + one scalar; candidate traffic is O(l * rounds)
+    rows total — the entire reason k-means|| replaces k-means++'s k
+    sequential passes."""
+    pts = points.persist()
+    try:
+        h0 = hash60(
+            F.concat_ws("|", F.lit(KPP_TAG), F.col("id").cast("string"))
+        )
+        first = (
+            pts.select("id", "xu", "yu", h0.alias("h"))
+            .orderBy("h", "id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen: list[tuple[int, int, int]] = [(first.id, first.xu, first.yu)]
+        for r in range(1, rounds + 1):
+            with_d2 = pts.withColumn("d2", _d2_expr(chosen))
+            phi = with_d2.agg(F.sum("d2")).collect()[0][0]
+            if phi == 0:  # every point already chosen — degenerate input
+                break
+            hu = F.shiftrightunsigned(
+                hash60(
+                    F.concat_ws(
+                        "|", F.lit(f"{KPP_TAG}{r}"), F.col("id").cast("string")
+                    )
+                ),
+                7,
+            )
+            new = (
+                with_d2.withColumn("hu", hu)
+                .filter(
+                    F.expr(
+                        f"CAST(hu AS DECIMAL(38,0)) * CAST({phi} AS DECIMAL(38,0))"
+                        f" < CAST({l} AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0))"
+                        f" * CAST({1 << 53} AS DECIMAL(38,0))"
+                    )
+                )
+                .select("id", "xu", "yu")
+                .collect()
+            )
+            chosen += sorted((row.id, row.xu, row.yu) for row in new)
+            if len(chosen) > KPP_CAP:
+                raise RuntimeError(
+                    f"kmeanspp_seed: {len(chosen)} candidates exceed"
+                    f" KPP_CAP={KPP_CAP}; lower l or rounds"
+                )
+        if len(chosen) < k:
+            raise RuntimeError(
+                f"kmeanspp_seed: only {len(chosen)} candidates for k={k};"
+                " raise l or rounds"
+            )
+        # canonical candidate index: ascending id (ids are unique points)
+        cands = sorted(chosen)
+        idx_of = {cid: i for i, (cid, _x, _y) in enumerate(cands)}
+        scores = [
+            (
+                (F.col("xu") - F.lit(cx)) * (F.col("xu") - F.lit(cx))
+                + (F.col("yu") - F.lit(cy)) * (F.col("yu") - F.lit(cy))
+            )
+            * KPP_CAP
+            + F.lit(idx_of[cid])
+            for cid, cx, cy in cands
+        ]
+        best = F.least(*scores) if len(scores) > 1 else scores[0]
+        wrows = (
+            pts.withColumn("ci", (best % KPP_CAP).cast("long"))
+            .groupBy("ci")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        )
+        w = {r2.ci: r2.w for r2 in wrows}
+        cand_full = [
+            (i, cid, cx, cy, w.get(i, 0))
+            for i, (cid, cx, cy) in enumerate(cands)
+        ]
+        # greedy weighted reduction, tie-free
+        seeds = [max(cand_full, key=lambda c: (c[4], -c[0]))]
+        taken = {seeds[0][0]}
+        while len(seeds) < k:
+            def score(c):
+                dmin = min(
+                    (c[2] - s[2]) ** 2 + (c[3] - s[3]) ** 2 for s in seeds
+                )
+                return (c[4] * dmin, -c[0])
+            nxt = max(
+                (c for c in cand_full if c[0] not in taken), key=score
+            )
+            seeds.append(nxt)
+            taken.add(nxt[0])
+    finally:
+        pts.unpersist()
+    rows = [
+        (-1, cid, cx, cy, cw) for _i, cid, cx, cy, cw in cand_full
+    ] + [
+        (rank + 1, cid, cx, cy, cw)
+        for rank, (_i, cid, cx, cy, cw) in enumerate(seeds)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, id bigint, xu bigint, yu bigint, w bigint"
+    )

@@ -164,6 +164,8 @@ def load_all() -> dict[str, QueryDef]:
             sessionize_stream,
             sessionize_inc,
             theta_ops,
+            ppr,
+            kmeanspp,
         )
 
         _loaded = True

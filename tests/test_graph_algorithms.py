@@ -674,3 +674,48 @@ def test_jp_coloring_bucketed_shuffle_path_matches_broadcast(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "Bucketed: true" in plan, plan
     assert not _exchange_above_arcs(plan), plan
+
+
+def test_personalized_pagerank_matches_python_twin(spark):
+    """personalized_pagerank model check: exact unit-for-unit agreement
+    with a pure-Python twin of the integer convention on a hand path
+    graph, source-proximity monotonicity along the path, and the
+    empty-source guard."""
+    import pytest as _pytest
+
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    sources, iters, scale = [0], 6, graph_iter.PR_SCALE
+    adj: dict[int, list[int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    tele = 3 * scale // (20 * len(sources))
+    r = {v: (scale // len(sources) if v in sources else 0) for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            csum = sum((17 * r[u]) // (20 * len(adj[u])) for u in adj[v])
+            nxt[v] = (tele if v in sources else 0) + csum
+        r = nxt
+
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = {
+        row.v: row.ppr_units
+        for row in graph_iter.personalized_pagerank(
+            edges, sources=sources, num_iter=iters
+        ).collect()
+    }
+    assert got == r
+    # damped-walk proximity: synchronous iteration oscillates on the
+    # near-bipartite path (per-vertex monotonicity does NOT hold — the
+    # degree-1 source sheds 85% of its mass each round), so the pinned
+    # claims are the robust ones: the source holds the global max, the
+    # far endpoint the global min, and the source half dominates
+    assert got[0] == max(got.values())
+    assert got[5] == min(got.values())
+    assert got[0] + got[1] + got[2] > got[3] + got[4] + got[5]
+
+    with _pytest.raises(ValueError, match="empty source set"):
+        graph_iter.personalized_pagerank(edges, sources=[])
