@@ -540,6 +540,83 @@ def pagerank(
     )
 
 
+def forest_fire_sample(
+    edges: DataFrame,
+    seeds: list[int],
+    rounds: int = 4,
+    t_num: int = 3,
+    t_den: int = 10,
+    broadcast_state: bool = True,
+    arcs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic forest-fire / snowball graph sampling (Leskovec &
+    Faloutsos, "Sampling from Large Graphs", KDD 2006 — the forest-fire
+    family, made hash-deterministic): from the seed set, `rounds` rounds
+    of frontier expansion in which each candidate arc (src in frontier,
+    dst not yet burned) SURVIVES iff
+
+        hash60('ff{r}|src|dst') >> 7  <  T,  T = t_num * 2^53 div t_den
+
+    — the uniform01 < p draw as one integer literal compare (the
+    PPS/kmeanspp threshold discipline), so the sampled arc set is
+    bit-identical across engines. A vertex burns ONCE (the no-revisit
+    rule): dst already burned never re-enters, but parallel arcs into a
+    newly-burned dst in the same round are all recorded — the sampled
+    subgraph keeps its multi-attachment structure.
+
+    Returns (r, src, dst) for every surviving arc, r = 1..rounds.
+    Plan per round: ONE arcs ⋈ frontier join (broadcast-or-bucketed
+    via `_state_side`; pair ``broadcast_state=False`` with
+    ``prepare_arcs_bucketed``) + a left-anti join against the burned
+    vertex state + the codegen hash filter; the burned/frontier states
+    are O(|V|) rows, checkpointed per round. 100 TB: cost ∝ arcs
+    TOUCHED by the fire, never |E| — the point of sampling before an
+    expensive exact analysis of a hub neighborhood."""
+    from gpu_mapreduce_spark.functions.portable import hash60
+
+    if arcs is None:
+        arcs = prepare_arcs(edges)
+    spark = arcs.sparkSession
+    thresh = t_num * (1 << 53) // t_den
+    burned = spark.createDataFrame(
+        [(v,) for v in seeds], "v bigint"
+    ).localCheckpoint(eager=True)
+    frontier = burned
+    sampled: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        fr = frontier.select(F.col("v").alias("fv"))
+        cand = (
+            arcs.join(_state_side(fr, broadcast_state), arcs.src == F.col("fv"))
+            .select("src", "dst")
+            .join(
+                burned.select(F.col("v").alias("bv")),
+                F.col("dst") == F.col("bv"),
+                "left_anti",
+            )
+        )
+        h = hash60(
+            F.concat_ws(
+                "|",
+                F.lit(f"ff{r}"),
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+            )
+        )
+        surv = (
+            cand.filter(F.shiftrightunsigned(h, 7) < F.lit(thresh))
+            .select(F.lit(r).cast("int").alias("r"), "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        sampled.append(surv)
+        new = surv.select(F.col("dst").alias("v")).distinct()
+        burned = burned.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.localCheckpoint(eager=True)
+    out = sampled[0]
+    for s in sampled[1:]:
+        out = out.unionAll(s)
+    return out
+
+
 def personalized_pagerank(
     edges: DataFrame,
     sources: list[int],

@@ -166,6 +166,7 @@ def load_all() -> dict[str, QueryDef]:
             theta_ops,
             ppr,
             kmeanspp,
+            forest_fire,
         )
 
         _loaded = True

@@ -719,3 +719,51 @@ def test_personalized_pagerank_matches_python_twin(spark):
 
     with _pytest.raises(ValueError, match="empty source set"):
         graph_iter.personalized_pagerank(edges, sources=[])
+
+
+def test_forest_fire_matches_python_twin_and_burns_once(spark):
+    """forest_fire_sample model check: exact arc-for-arc agreement with a
+    pure-Python twin of the integer-threshold draw on a hand graph, plus
+    the no-revisit law (a vertex appears as a newly-burned dst in at
+    most one round) and seed-exclusion (seeds never re-burn)."""
+    import hashlib
+
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (1, 5),
+             (5, 6), (6, 7)]
+    seeds, rounds, t_num, t_den = [0], 3, 7, 10  # p=0.7 spreads on a path
+    thresh = t_num * (1 << 53) // t_den
+
+    arcs = pairs + [(d, s) for s, d in pairs]
+    burned, frontier = set(seeds), set(seeds)
+    want = []
+    for r in range(1, rounds + 1):
+        new = set()
+        for s, d in arcs:
+            if s in frontier and d not in burned:
+                h = int(
+                    hashlib.md5(f"ff{r}|{s}|{d}".encode()).hexdigest()[:15],
+                    16,
+                )
+                if (h >> 7) < thresh:
+                    want.append((r, s, d))
+                    new.add(d)
+        burned |= new
+        frontier = new
+    assert want, "twin sampled nothing — pick a spreadier hand graph"
+
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = sorted(
+        (row.r, row.src, row.dst)
+        for row in graph_iter.forest_fire_sample(
+            edges, seeds=seeds, rounds=rounds, t_num=t_num, t_den=t_den
+        ).collect()
+    )
+    assert got == sorted(want)
+    # no-revisit: each dst burns in exactly one round; seeds never appear
+    first_round: dict[int, int] = {}
+    for r, _s, d in got:
+        assert d not in seeds
+        first_round.setdefault(d, r)
+        assert first_round[d] == r
