@@ -167,6 +167,7 @@ def load_all() -> dict[str, QueryDef]:
             ppr,
             kmeanspp,
             forest_fire,
+            anomaly,
         )
 
         _loaded = True
