@@ -168,6 +168,7 @@ def load_all() -> dict[str, QueryDef]:
             kmeanspp,
             forest_fire,
             anomaly,
+            ann_filtered,
         )
 
         _loaded = True
