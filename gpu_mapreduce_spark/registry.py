@@ -169,6 +169,7 @@ def load_all() -> dict[str, QueryDef]:
             forest_fire,
             anomaly,
             ann_filtered,
+            theta_stream,
         )
 
         _loaded = True

@@ -81,3 +81,24 @@ def test_kmv_union_sketch_mergeability(spark):
         )
     )
     assert from_sketches == from_raw
+
+
+def test_stream_theta_ingest_equals_raw_and_survives_duplication(spark):
+    """The r12 stream path: the streamed k-min union must equal the
+    raw-built source-A sketch, and — KMV's structural safety — folding a
+    DUPLICATED partial changes nothing (idempotent + commutative union,
+    the property that makes at-least-once delivery harmless here)."""
+    from pyspark.sql import functions as F
+
+    from gpu_mapreduce_spark.registry import load_all
+    from gpu_mapreduce_spark.sources.tables import table
+
+    qs = load_all()
+    got = [r.h for r in qs["stream_theta_ingest"].fn(spark, SF_DIR).collect()]
+    want = t.kmv_sketch(
+        table(spark, SF_DIR, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
+    assert got == want
+    # duplicated partial: union with itself is the identity
+    dup = sorted(set(got) | set(got))[: t._K]
+    assert dup == want
