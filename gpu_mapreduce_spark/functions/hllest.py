@@ -48,6 +48,16 @@ RHO_MAX = 55  # 54 rho bits + 1
 ALPHA_M2_FP4 = 29_040_640  # alpha_64 * m^2 * 10^4, exact integer
 NUMER = ALPHA_M2_FP4 * (1 << RHO_MAX)  # 1046299323860805767659520
 
+# Envelope floor, GUARDED (not just documented — the anomaly/jp_coloring
+# loud-failure discipline, r12 ADVICE): est_fp4 = NUMER div D fits a
+# BIGINT iff D > NUMER / 2^63 = ALPHA_M2_FP4 / 2^8 = 113_440 exactly
+# (NUMER // 113_440 == 2^63 overflows; NUMER // 113_441 < 2^63 fits).
+# Near-saturated registers CAN drive D that low (all-55 regs give
+# D = 64), so both engine fragments raise loudly below the floor
+# instead of letting Spark's non-ANSI cast null/wrap while DuckDB
+# errors — the silent-divergence failure mode the guard exists for.
+D_MIN_SAFE = NUMER // (1 << 63) + 1  # 113_441
+
 
 def d_from_regs() -> Column:
     """AGGREGATE expression: D over one group of sparse register rows
@@ -64,16 +74,28 @@ def d_from_regs() -> Column:
 
 def spark_est_fp4(d_expr: str) -> str:
     """Spark SQL fragment (for F.expr) computing est_fp4 from a BIGINT D
-    expression: DECIMAL(38,0) integral divide, cast back to BIGINT."""
+    expression: DECIMAL(38,0) integral divide, cast back to BIGINT.
+    Raises loudly when D < D_MIN_SAFE (the BIGINT envelope floor)."""
     return (
-        f"CAST(CAST('{NUMER}' AS DECIMAL(38,0))"
-        f" div CAST({d_expr} AS DECIMAL(38,0)) AS BIGINT)"
+        f"CASE WHEN ({d_expr}) < {D_MIN_SAFE}"
+        f" THEN CAST(raise_error(concat('hllest.est_fp4: D = ',"
+        f" CAST({d_expr} AS STRING), ' below the BIGINT envelope floor"
+        f" {D_MIN_SAFE} — estimate would exceed 2^63')) AS BIGINT)"
+        f" ELSE CAST(CAST('{NUMER}' AS DECIMAL(38,0))"
+        f" div CAST({d_expr} AS DECIMAL(38,0)) AS BIGINT) END"
     )
 
 
 def duckdb_est_fp4(d_expr: str) -> str:
-    """DuckDB mirror: HUGEINT integral divide, cast back to BIGINT."""
-    return f"CAST(({NUMER}::HUGEINT // CAST(({d_expr}) AS HUGEINT)) AS BIGINT)"
+    """DuckDB mirror: HUGEINT integral divide, cast back to BIGINT —
+    same loud guard below the envelope floor."""
+    return (
+        f"CASE WHEN ({d_expr}) < {D_MIN_SAFE}"
+        f" THEN CAST(error('hllest.est_fp4: D below the BIGINT envelope"
+        f" floor {D_MIN_SAFE}') AS BIGINT)"
+        f" ELSE CAST(({NUMER}::HUGEINT // CAST(({d_expr}) AS HUGEINT))"
+        f" AS BIGINT) END"
+    )
 
 
 def duckdb_d_from_regs() -> str:
@@ -86,5 +108,11 @@ def duckdb_d_from_regs() -> str:
 
 
 def est_fp4_py(d: int) -> int:
-    """Python twin for tests: the exact integer the convention yields."""
+    """Python twin for tests: the exact integer the convention yields —
+    same loud guard below the envelope floor."""
+    if d < D_MIN_SAFE:
+        raise ValueError(
+            f"hllest.est_fp4: D = {d} below the BIGINT envelope floor"
+            f" {D_MIN_SAFE} — estimate would exceed 2^63"
+        )
     return NUMER // d

@@ -574,9 +574,32 @@ def forest_fire_sample(
     expensive exact analysis of a hub neighborhood."""
     from gpu_mapreduce_spark.functions.portable import hash60
 
+    if rounds < 1:
+        raise ValueError(
+            f"forest_fire_sample: rounds must be >= 1, got {rounds}"
+        )
+    if not seeds:
+        raise ValueError("forest_fire_sample: empty seed set")
     if arcs is None:
         arcs = prepare_arcs(edges)
     spark = arcs.sparkSession
+    # seed validation (r12 ADVICE, the personalized_pagerank loud-failure
+    # discipline): a seed absent from the graph burns but never expands —
+    # raise instead of silently sampling nothing from it. One bounded
+    # isin-filtered distinct (<= |seeds| rows collected).
+    present = {
+        r.v
+        for r in arcs.select(F.col("src").alias("v"))
+        .where(F.col("v").isin(list(seeds)))
+        .distinct()
+        .collect()
+    }
+    missing = sorted(set(seeds) - present)
+    if missing:
+        raise ValueError(
+            "forest_fire_sample: seed vertices absent from the graph's"
+            f" source set (no arcs to expand): {missing}"
+        )
     thresh = t_num * (1 << 53) // t_den
     burned = spark.createDataFrame(
         [(v,) for v in seeds], "v bigint"
@@ -649,6 +672,24 @@ def personalized_pagerank(
     arcs_deg, _n = (
         arcs_deg_n if arcs_deg_n is not None else prepare_arcs_deg(edges)
     )
+    # source validation (r12 ADVICE): ranks init from arcs_deg's src set,
+    # so a source with no edges would silently drop its share of the
+    # initial mass AND the per-round teleport, skewing every score by a
+    # constant factor. One bounded isin-filtered distinct at init
+    # (<= |sources| rows collected) raises loudly instead.
+    present = {
+        r.v
+        for r in arcs_deg.select(F.col("src").alias("v"))
+        .where(F.col("v").isin(list(sources)))
+        .distinct()
+        .collect()
+    }
+    missing = sorted(set(sources) - present)
+    if missing:
+        raise ValueError(
+            "personalized_pagerank: source vertices absent from the"
+            f" graph's vertex set: {missing}"
+        )
     ns = len(sources)
     teleport = (alpha_den - alpha_num) * PR_SCALE // (alpha_den * ns)
     is_src = F.col("v").isin(sources)

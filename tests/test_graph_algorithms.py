@@ -719,6 +719,10 @@ def test_personalized_pagerank_matches_python_twin(spark):
 
     with _pytest.raises(ValueError, match="empty source set"):
         graph_iter.personalized_pagerank(edges, sources=[])
+    # r12 ADVICE: a source absent from the vertex set would silently drop
+    # its share of the initial mass and per-round teleport — raise loudly
+    with _pytest.raises(ValueError, match="absent from the.*vertex set"):
+        graph_iter.personalized_pagerank(edges, sources=[0, 99])
 
 
 def test_forest_fire_matches_python_twin_and_burns_once(spark):
@@ -767,3 +771,22 @@ def test_forest_fire_matches_python_twin_and_burns_once(spark):
         assert d not in seeds
         first_round.setdefault(d, r)
         assert first_round[d] == r
+
+
+def test_forest_fire_argument_guards(spark):
+    """r12 ADVICE: rounds < 1 raises a descriptive ValueError (not an
+    IndexError on sampled[0]), and a seed absent from the graph raises
+    instead of silently burning without ever expanding."""
+    import pytest as _pytest
+
+    from gpu_mapreduce_spark.operators import graph_iter
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(ValueError, match="rounds must be >= 1"):
+        graph_iter.forest_fire_sample(edges, seeds=[0], rounds=0)
+    with _pytest.raises(ValueError, match="empty seed set"):
+        graph_iter.forest_fire_sample(edges, seeds=[], rounds=2)
+    with _pytest.raises(ValueError, match="absent from the graph"):
+        graph_iter.forest_fire_sample(edges, seeds=[0, 42], rounds=2)

@@ -92,3 +92,39 @@ def test_est_fp4_accuracy_on_real_sketches():
         assert abs(est - n) / n < 0.39, f"n={n}: est {est}"
     empty_floor = hllest.est_fp4_py(hllest.M * (1 << hllest.RHO_MAX))
     assert empty_floor == hllest.ALPHA_M2_FP4 // hllest.M  # 45.376 raw
+
+
+def test_est_fp4_envelope_guard_raises_loudly(spark):
+    """Below the D floor (est >= 2^63) all three engines RAISE instead of
+    silently nulling/wrapping (r12 ADVICE: Spark's non-ANSI cast would
+    otherwise diverge from DuckDB's HUGEINT error). The floor itself is
+    the exact boundary: D_MIN_SAFE - 1 must raise, D_MIN_SAFE must fit."""
+    import duckdb as _duckdb
+
+    import pytest as _pytest
+
+    floor = hllest.D_MIN_SAFE
+    assert hllest.NUMER // floor < 2**63
+    assert hllest.NUMER // (floor - 1) >= 2**63
+
+    assert hllest.est_fp4_py(floor) == hllest.NUMER // floor
+    with _pytest.raises(ValueError, match="envelope floor"):
+        hllest.est_fp4_py(floor - 1)
+
+    df = spark.createDataFrame([(floor,), (floor - 1,)], "d bigint")
+    ok = df.filter(f"d = {floor}").selectExpr(
+        hllest.spark_est_fp4("d") + " AS est"
+    )
+    assert ok.collect()[0].est == hllest.NUMER // floor
+    bad = df.filter(f"d = {floor - 1}").selectExpr(
+        hllest.spark_est_fp4("d") + " AS est"
+    )
+    with _pytest.raises(Exception, match="envelope floor"):
+        bad.collect()
+
+    con = _duckdb.connect()
+    assert con.execute(
+        f"SELECT {hllest.duckdb_est_fp4(str(floor))}"
+    ).fetchone()[0] == hllest.NUMER // floor
+    with _pytest.raises(Exception, match="envelope floor"):
+        con.execute(f"SELECT {hllest.duckdb_est_fp4(str(floor - 1))}")
