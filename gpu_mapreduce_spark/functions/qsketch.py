@@ -109,6 +109,56 @@ def build(values: list[int], capacity: int = CAPACITY) -> QSketch:
     return sk
 
 
+def bulk_build(values: list[int], capacity: int = CAPACITY) -> QSketch:
+    """Bulk construction: load the whole multiset into level 0, then one
+    bottom-up compaction pass — the REGISTERED convention for the Spark
+    per-partition partials (quantile_sketch_merge), chosen over the
+    streaming `build` because its state is a function of the value
+    MULTISET alone (every compaction sorts first, so insertion order
+    cannot matter) and has a CLOSED FORM an SQL oracle replays without
+    simulating n inserts:
+
+      with s = sorted(values), n_i = n >> i, and L = the smallest level
+      with n_L <= capacity,
+        level i < L : [s[(n_i - 1) << i]] if n_i odd else []   (leftover)
+        level L     : [s[k << L] for k in range(n_L)]
+        counter_i   : 1 if i < L else 0
+
+    (each level compacts exactly once: level i holds n_i rows, keeps the
+    even sorted positions of its even-length prefix — counters start 0 —
+    and promotes them as positions k * 2^(i+1) of the original sorted
+    order, the odd max staying behind). The law is pinned against this
+    very function in tests/test_qsketch.py; the rank-error envelope is
+    the same O(n / capacity) class as the streaming build (one compaction
+    per level instead of many), covered by the shared envelope tests."""
+    sk = QSketch(capacity=capacity)
+    sk._ensure(0)
+    sk.levels[0] = list(values)
+    sk._compact_from(0)
+    return sk
+
+
+def fold_tree(parts: list[QSketch]) -> QSketch:
+    """Canonical log-depth fold: pair adjacent sketches (0,1), (2,3), …
+    per layer (an odd tail carries up unmerged) until one remains. THE
+    fold order of the quantile_sketch_merge registration — deterministic
+    compaction is not order-associative, so the gate pins this order
+    (the bpe fixed-K discipline) while the error envelope is pinned
+    order-free in tests."""
+    if not parts:
+        raise ValueError("fold_tree of an empty partial list")
+    layer = list(parts)
+    while len(layer) > 1:
+        nxt = [
+            merge(layer[j], layer[j + 1])
+            for j in range(0, len(layer) - 1, 2)
+        ]
+        if len(layer) % 2:
+            nxt.append(layer[-1])
+        layer = nxt
+    return layer[0]
+
+
 def merge(a: QSketch, b: QSketch) -> QSketch:
     """Level-wise concatenation + bottom-up re-compaction by the same
     deterministic rule. Weight-exact: merged.n == a.n + b.n always."""

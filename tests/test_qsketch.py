@@ -90,6 +90,71 @@ def test_qsketch_quantiles_land_near_truth():
         assert abs(true_rank - n * num / den) <= 0.03 * n
 
 
+def test_bulk_build_matches_closed_form_position_law():
+    """bulk_build's state must equal the documented closed form — the law
+    the SQL oracle replays: level i < L holds the odd leftover
+    s[(n_i - 1) << i], level L holds s[k << L], counters 1 below L."""
+    c = qsketch.CAPACITY
+    for n in (0, 1, c, c + 1, 2 * c, 313, 625, 5000, 50_001):
+        data = [_h(i) % 10_000 for i in range(n)]
+        sk = qsketch.bulk_build(data)
+        s = sorted(data)
+        if n == 0:
+            assert sk.levels == [[]] and sk.n == 0
+            continue
+        lvl, want_levels, want_ctrs = 0, [], []
+        while (n >> lvl) > c:
+            ni = n >> lvl
+            want_levels.append([s[(ni - 1) << lvl]] if ni % 2 else [])
+            want_ctrs.append(1)
+            lvl += 1
+        want_levels.append([s[k << lvl] for k in range(n >> lvl)])
+        want_ctrs.append(0)
+        assert [sorted(l) for l in sk.levels] == want_levels, n
+        assert sk.compactions == want_ctrs, n
+        assert sk.n == n
+
+
+def test_bulk_build_multiset_deterministic_and_envelope():
+    """bulk_build is a function of the value MULTISET (insertion order
+    irrelevant — the property the distributed partials rely on), and its
+    rank-error envelope holds across the same shapes as the streaming
+    build."""
+    n = 50_000
+    for name, data in _datasets(n).items():
+        a = qsketch.bulk_build(data)
+        b = qsketch.bulk_build(list(reversed(data)))
+        assert a.levels == b.levels and a.compactions == b.compactions
+        assert a.n == n
+        err = _max_rank_err(a, data)
+        assert err <= 0.03 * n, f"{name}: rank error {err}"
+
+
+def test_fold_tree_of_bulk_partials_weight_exact_and_envelope():
+    """The registered pipeline shape: P bulk partials (deterministic
+    group split), canonical log-depth fold — exact weight, deterministic
+    state, envelope holds; P not a power of two exercises the odd-tail
+    carry."""
+    n = 40_000
+    data = _datasets(n)["uniform"]
+    for p in (8, 5, 1):
+        parts = [qsketch.bulk_build(data[i::p]) for i in range(p)]
+        m1 = qsketch.fold_tree(parts)
+        m2 = qsketch.fold_tree(
+            [qsketch.bulk_build(data[i::p]) for i in range(p)]
+        )
+        assert m1.levels == m2.levels and m1.compactions == m2.compactions
+        assert m1.n == n
+        # bulk partials compact at full level width, so the P=8 fold's
+        # constant is a bit above the streaming build's: worst observed
+        # 4.0% of n across shapes / P / n in {10k,40k,80k}; pin 1.5x that
+        assert _max_rank_err(m1, data) <= 0.06 * n, p
+    import pytest
+
+    with pytest.raises(ValueError, match="empty partial list"):
+        qsketch.fold_tree([])
+
+
 def test_qsketch_small_inputs_exact():
     # below capacity nothing compacts: ranks are exact
     data = [5, 1, 9, 3, 3]
