@@ -170,6 +170,11 @@ def load_all() -> dict[str, QueryDef]:
             anomaly,
             ann_filtered,
             theta_stream,
+            # r13 tail (same discipline: new modules at the END)
+            qsketch_merge,
+            ann_pq_residual,
+            sessionize_slab,
+            cms_stream,
         )
 
         _loaded = True
