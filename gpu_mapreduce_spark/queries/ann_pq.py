@@ -76,13 +76,17 @@ def _qsq_sql(p: str) -> str:
     )
 
 
-def pq_ctes(prefix: str = "", train_where: str = "") -> str:
+def pq_ctes(prefix: str = "", train_where: str = "", source: str = "embeddings") -> str:
     """SQL replay of pq_codebooks + pq_encode: CTEs {prefix}pq_train /
     {prefix}pq_books / {prefix}pq_assigned (per-vector-per-subspace winning
     code). `prefix` + `train_where` follow the ivf_assign_ctes discipline
     (lifted here for SCALE.md's r10 ann_ivfpq_append design: codebooks
     trained on the EXISTING split stay frozen while the full corpus
-    encodes under them); the unprefixed instance is module-level PQ_CTES."""
+    encodes under them); `source` lets the chain run over a derived
+    (vec_id, embedding) CTE instead of the base table — the residual
+    projection of ann_pq_residual trains and encodes over residuals
+    through the exact same replay. The unprefixed instance is
+    module-level PQ_CTES."""
     p = prefix
     return f"""
         {p}pq_train AS (
@@ -92,7 +96,7 @@ def pq_ctes(prefix: str = "", train_where: str = "") -> str:
                            ('0x' || substr(md5('{PQ_SEED}' || '|' ||
                                CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                            vec_id) AS trn
-                FROM embeddings {train_where}
+                FROM {source} {train_where}
             ) WHERE trn <= {PQ_TRAIN}
         ),
         {p}pq_books AS (
@@ -114,7 +118,7 @@ def pq_ctes(prefix: str = "", train_where: str = "") -> str:
                 SELECT e.vec_id, b.m, b.code,
                        row_number() OVER (PARTITION BY e.vec_id, b.m
                            ORDER BY {_qsq_sql(p)} ASC, b.code) AS rn
-                FROM embeddings e, {p}pq_books b
+                FROM {source} e, {p}pq_books b
             ) WHERE rn = 1
         )"""
 
