@@ -1066,7 +1066,14 @@ def main() -> None:
             "data_ratio": REPS,
             "whale_share": f"~{WHALE_REPS}/{REPS}",
         }
-        for name in ("sessionize_events", "funnel_user_stages"):
+        # sessionize_slabbed joined r13: the whale-safe two-stage fold —
+        # its 9/10-whale point vs sessionize_events' IS the measurement
+        # the slab design claims (the bend moved to stage 2's session rows)
+        for name in (
+            "sessionize_events",
+            "sessionize_slabbed",
+            "funnel_user_stages",
+        ):
             fn = qs[name].fn
             out["events"][name] = {
                 "1x": measure(
