@@ -30,6 +30,48 @@ def _bucket(j: int, key: str) -> int:
     return int(hashlib.md5(f"cms{j}|{key}".encode()).hexdigest()[:15], 16) % _W
 
 
+def test_cms_stream_ingest_equals_batch_and_replays_idempotently(spark):
+    """The r13 stream path: base cells ∪ microbatch partials must fold
+    to EXACTLY cms_merge_rollup's batch output (linearity across
+    arbitrary batch boundaries), and a RETRIED batch — its partial dir
+    overwritten, the at-least-once contract — must leave the fold
+    unchanged (the double-count hazard the batch-id dir naming
+    exists to kill)."""
+    import tempfile
+
+    from gpu_mapreduce_spark.queries import cms_stream as cs
+    from gpu_mapreduce_spark.registry import load_all
+
+    qs = load_all()
+    got = [
+        tuple(r)
+        for r in qs["cms_stream_ingest"].fn(spark, SF_DIR).collect()
+    ]
+    want = [tuple(r) for r in cms_merge_rollup(spark, SF_DIR).collect()]
+    assert got == want
+    # retry simulation: one delta slice's partial written twice to the
+    # SAME dir (mode overwrite) folds identically to written once
+    delta = cs._fine_rows(spark, SF_DIR).filter(
+        F.col("event_id") % cs._MOD == cs._REM
+    )
+    with tempfile.TemporaryDirectory(prefix="cms_retry_") as d:
+        cs._cells(delta).write.mode("overwrite").parquet(f"{d}/ingest_0")
+        once = {
+            (r.d, r.j, r.b): r.c_p
+            for r in spark.read.schema(cs._PARTIAL)
+            .parquet(f"{d}/ingest_*")
+            .collect()
+        }
+        cs._cells(delta).write.mode("overwrite").parquet(f"{d}/ingest_0")
+        twice = {
+            (r.d, r.j, r.b): r.c_p
+            for r in spark.read.schema(cs._PARTIAL)
+            .parquet(f"{d}/ingest_*")
+            .collect()
+        }
+    assert once == twice
+
+
 def test_rolled_sketch_estimates_are_one_sided_and_sometimes_tight(spark):
     cells = {
         (r.d, r.j, r.b): r.c for r in cms_merge_rollup(spark, SF_DIR).collect()
