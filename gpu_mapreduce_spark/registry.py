@@ -175,6 +175,8 @@ def load_all() -> dict[str, QueryDef]:
             ann_pq_residual,
             sessionize_slab,
             cms_stream,
+            decayed_sample,
+            qsketch_rollup,
         )
 
         _loaded = True
