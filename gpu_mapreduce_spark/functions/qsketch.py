@@ -159,6 +159,33 @@ def fold_tree(parts: list[QSketch]) -> QSketch:
     return layer[0]
 
 
+def fold_slots(slots: "list[QSketch | None]") -> QSketch:
+    """fold_tree over FIXED slot positions: empty slots (None) pass
+    through each pairing round untouched, exactly like an sk -> sk // 2
+    id fold with absent ids — the form an SQL replay implements, and
+    identical to fold_tree when every slot is filled (contiguous ids
+    pair the same way). Needed when a fixed partial layout can have
+    EMPTY groups (qsketch_rollup's hash-split source grain)."""
+    layer: list[QSketch | None] = list(slots)
+    if not layer:
+        raise ValueError("fold_slots of an empty slot list")
+    while len(layer) > 1:
+        nxt: list[QSketch | None] = []
+        for j in range(0, len(layer), 2):
+            a = layer[j]
+            b = layer[j + 1] if j + 1 < len(layer) else None
+            if a is None:
+                nxt.append(b)
+            elif b is None:
+                nxt.append(a)
+            else:
+                nxt.append(merge(a, b))
+        layer = nxt
+    if layer[0] is None:
+        raise ValueError("fold_slots: every slot empty")
+    return layer[0]
+
+
 def merge(a: QSketch, b: QSketch) -> QSketch:
     """Level-wise concatenation + bottom-up re-compaction by the same
     deterministic rule. Weight-exact: merged.n == a.n + b.n always."""

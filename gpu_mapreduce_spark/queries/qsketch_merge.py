@@ -182,31 +182,37 @@ def fold_and_read(parts: list[qsketch.QSketch]) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
-def _stage_sql(r: int, i: int, prev_rows: str, prev_ctrs: str) -> str:
+def _stage_sql(
+    r: int, i: int, prev_rows: str, prev_ctrs: str, prefix: str = ""
+) -> str:
     """One bottom-up compaction stage: processes level `i` of every
-    sketch in parallel (PARTITION BY sk)."""
+    sketch in parallel (PARTITION BY sk). `sk` may be ANY integer
+    sketch id — qsketch_rollup.py threads composite (source, group)
+    ids through the same stages; `prefix` namespaces the CTEs so one
+    oracle can chain several fold phases."""
+    p = prefix
     return f"""
-        r{r}t{i} AS MATERIALIZED (
+        {p}r{r}t{i} AS MATERIALIZED (
             SELECT sk, lvl, val,
                    COUNT(*) OVER (PARTITION BY sk, lvl) AS cnt,
                    row_number() OVER (PARTITION BY sk, lvl
                                       ORDER BY val) - 1 AS rn
             FROM {prev_rows}
         ),
-        r{r}s{i} AS MATERIALIZED (
-            SELECT sk, lvl, val FROM r{r}t{i}
+        {p}r{r}s{i} AS MATERIALIZED (
+            SELECT sk, lvl, val FROM {p}r{r}t{i}
             WHERE lvl <> {i} OR cnt <= {CAP}
             UNION ALL
-            SELECT sk, lvl, val FROM r{r}t{i}
+            SELECT sk, lvl, val FROM {p}r{r}t{i}
             WHERE lvl = {i} AND cnt > {CAP} AND cnt % 2 = 1
               AND rn = cnt - 1
             UNION ALL
-            SELECT t.sk, t.lvl + 1 AS lvl, t.val FROM r{r}t{i} t
+            SELECT t.sk, t.lvl + 1 AS lvl, t.val FROM {p}r{r}t{i} t
             JOIN {prev_ctrs} c ON c.sk = t.sk AND c.lvl = {i}
             WHERE t.lvl = {i} AND t.cnt > {CAP}
               AND t.rn < t.cnt - t.cnt % 2 AND t.rn % 2 = c.ctr % 2
         ),
-        r{r}c{i} AS MATERIALIZED (
+        {p}r{r}c{i} AS MATERIALIZED (
             SELECT c.sk, c.lvl,
                    c.ctr + CASE WHEN c.lvl = {i}
                                  AND coalesce(x.cnt, 0) > {CAP}

@@ -155,6 +155,37 @@ def test_fold_tree_of_bulk_partials_weight_exact_and_envelope():
         qsketch.fold_tree([])
 
 
+def test_fold_slots_matches_fold_tree_and_passes_empties_through():
+    """fold_slots == fold_tree when every slot fills; empty slots pass
+    through each pairing round (the sk // 2 id-fold semantics an SQL
+    replay implements), so [p0, None, p2, p3] pairs (p0 alone),
+    (p2, p3) in round 1 and merges the survivors in round 2."""
+    import pytest
+
+    data = _datasets(8_000)["uniform"]
+    parts = [qsketch.bulk_build(data[i::4]) for i in range(4)]
+    full = qsketch.fold_slots(list(parts))
+    tree = qsketch.fold_tree(parts)
+    assert full.levels == tree.levels and full.compactions == tree.compactions
+
+    import copy
+
+    p0, p2, p3 = (copy.deepcopy(parts[i]) for i in (0, 2, 3))
+    sparse = qsketch.fold_slots([p0, None, p2, p3])
+    want = qsketch.merge(
+        copy.deepcopy(parts[0]),
+        qsketch.merge(copy.deepcopy(parts[2]), copy.deepcopy(parts[3])),
+    )
+    assert sparse.levels == want.levels
+    assert sparse.compactions == want.compactions
+    assert sparse.n == parts[0].n + parts[2].n + parts[3].n
+
+    with pytest.raises(ValueError, match="empty slot list"):
+        qsketch.fold_slots([])
+    with pytest.raises(ValueError, match="every slot empty"):
+        qsketch.fold_slots([None, None])
+
+
 def test_qsketch_small_inputs_exact():
     # below capacity nothing compacts: ranks are exact
     data = [5, 1, 9, 3, 3]

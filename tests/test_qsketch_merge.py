@@ -90,6 +90,36 @@ def test_fold_unroll_envelope_guard():
         qm.fold_and_read([deep])
 
 
+def test_group_rollup_weights_and_envelope(spark):
+    """qsketch_group_rollup: per-source weights are exact (n row ==
+    source row count), the cross-source fold's weight is their sum
+    (mergeability loses nothing), and the '__all__' quantile reads sit
+    within the fold-path envelope of the corpus-wide exact ranks."""
+    from gpu_mapreduce_spark.queries.qsketch_rollup import (
+        qsketch_group_rollup,
+    )
+
+    out = qsketch_group_rollup(spark, SF001_DIR).collect()
+    ns = {r.src: r.v for r in out if r.sec == "n"}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT source, CAST(COUNT(*) AS BIGINT) FROM read_parquet("
+            f"'{SF001_DIR}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+    assert {s: n for s, n in ns.items() if s != "__all__"} == want
+    assert ns["__all__"] == sum(want.values())
+    vals = sorted(_doc_vals(SF001_DIR))
+    n = len(vals)
+    for r in out:
+        if r.sec == "q" and r.src == "__all__":
+            target = (n * r.k + 99) // 100
+            exact_rank = sum(1 for v in vals if v <= r.v)
+            assert abs(exact_rank - target) <= 0.06 * n, (r.k, r.v)
+
+
 def test_oracle_closed_form_group_build_hand_input():
     """The oracle's s0/c0 closed form equals bulk_build on a hand-made
     table exercising odd leftovers at several levels (n = 325: levels
