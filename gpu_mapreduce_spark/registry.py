@@ -177,6 +177,8 @@ def load_all() -> dict[str, QueryDef]:
             cms_stream,
             decayed_sample,
             qsketch_rollup,
+            qsketch_stream,
+            misra_gries,
         )
 
         _loaded = True

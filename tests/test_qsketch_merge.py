@@ -120,6 +120,34 @@ def test_group_rollup_weights_and_envelope(spark):
             assert abs(exact_rank - target) <= 0.06 * n, (r.k, r.v)
 
 
+def test_qsketch_stream_equals_batch_and_guards_duplicates(spark):
+    """The r13 stream path: the group-sliced drain must reproduce
+    quantile_sketch_merge's exact rows (stream ≡ batch — the
+    order-dependent fold makes this a strictly stronger claim than the
+    KMV/CMS duals, hence the deterministic feed), and a duplicated
+    ingested partial must raise loudly instead of corrupting the
+    fold."""
+    from gpu_mapreduce_spark.queries import qsketch_stream as qs
+
+    got = [
+        tuple(r) for r in qs.qsketch_stream_ingest(spark, SF_DIR).collect()
+    ]
+    want = [
+        tuple(r) for r in qm.quantile_sketch_merge(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+    class Row:
+        def __init__(self, g, kind, lvl, v):
+            self.g, self.kind, self.lvl, self.v = g, kind, lvl, v
+
+    dup = [Row(0, "s", 0, 5), Row(0, "c", 0, 0), Row(0, "c", 0, 0)]
+    with pytest.raises(ValueError, match="ingested twice"):
+        qs._rebuild_unique(dup)
+    with pytest.raises(ValueError, match="out-of-range"):
+        qs._rebuild_unique([Row(qm.P, "c", 0, 0)])
+
+
 def test_oracle_closed_form_group_build_hand_input():
     """The oracle's s0/c0 closed form equals bulk_build on a hand-made
     table exercising odd leftovers at several levels (n = 325: levels
