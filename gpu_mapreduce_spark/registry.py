@@ -179,6 +179,7 @@ def load_all() -> dict[str, QueryDef]:
             qsketch_rollup,
             qsketch_stream,
             misra_gries,
+            theta_matrix,
         )
 
         _loaded = True
