@@ -180,6 +180,7 @@ def load_all() -> dict[str, QueryDef]:
             qsketch_stream,
             misra_gries,
             theta_matrix,
+            transitions,
         )
 
         _loaded = True
