@@ -1566,3 +1566,141 @@ def jp_coloring(
         f"jp_coloring: not finished within max_rounds={max_rounds};"
         " raise max_rounds (priority chains serialize around hubs)"
     )
+
+
+def greedy_matching(
+    wedges: DataFrame,
+    max_rounds: int = 30,
+    broadcast_state: bool = True,
+) -> tuple[DataFrame, list[int]]:
+    """Deterministic maximal weighted matching by Luby-round edge
+    priorities (SCALE.md wave-4 design) — the pair-resolution primitive
+    a dedup pipeline runs after candidate generation: each near-dup pair
+    keeps at most one partner per side, heaviest pairs first.
+
+    Luby's machinery applied to the LINE graph without materializing it:
+    per round an edge joins the matching iff its priority is the strict
+    best among all live edges sharing either endpoint — computed as TWO
+    keyed min-aggregates (one per-vertex min over the src/dst-tagged
+    union, map-side combinable) joined back, never an edge x edge join.
+    Matched endpoints drop out (two broadcast anti-joins); repeat until
+    no live edge remains, so MAXIMALITY holds by construction (the loop
+    cannot end while an edge with two free endpoints survives).
+
+    Priority is the packed strict total order (weight DESC, then
+    src, dst) in ONE BIGINT — boruvka_msf's packing discipline verbatim
+    with the weight field inverted: pk = (2^22-1 - wu) * 2^40 +
+    src * 2^20 + dst, envelope 0 <= src/dst < 2^20, 0 <= wu < 2^22,
+    raised loudly. Unique per edge, so "strict best" needs no extra
+    tiebreak and the matched edge SET is a deterministic function of
+    the graph — the hash-gate requirement, exactly like luby_find's
+    MIS. The greedy order gives the classic 1/2-approximation of the
+    maximum-weight matching (pinned in tests against brute force).
+    Expected rounds are O(log E) when weights break symmetry (the
+    fixture's pseudorandom wu does); a corpus with CONSTANT weights
+    re-serializes around priority chains — there, salt wu with a
+    portable hash before calling (the jp_coloring posture).
+
+    Per round ONE scalar (the matched count) crosses the driver and the
+    live set localCheckpoints so lineage never stacks (the cc_find
+    discipline); bound exhaustion raises rather than returning a
+    non-maximal matching (the ktruss discipline). Returns ((round, src,
+    dst, wu) matched edges, per-round matched counts). 100 TB: cost is
+    proportional to LIVE edges per round (halving geometry like
+    luby/boruvka), state is two bounded per-vertex min tables.
+    """
+    V_SHIFT = 1 << 20
+    WU_CAP = (1 << 22) - 1
+    bad = wedges.filter(
+        (F.col("src") >= V_SHIFT)
+        | (F.col("dst") >= V_SHIFT)
+        | (F.col("wu") > WU_CAP)
+        | (F.col("src") < 0)
+        | (F.col("dst") < 0)
+        | (F.col("wu") < 0)
+    )
+    if not bad.isEmpty():
+        raise ValueError(
+            "greedy_matching packing envelope: needs 0 <= src/dst < 2^20"
+            " and 0 <= wu < 2^22 (re-pack for bigger graphs)"
+        )
+    live = (
+        wedges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("wu").cast("bigint").alias("wu"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("wu").alias("wu"))  # parallel edges: keep the heaviest
+        .select(
+            "src",
+            "dst",
+            "wu",
+            (
+                (F.lit(WU_CAP) - F.col("wu")) * F.lit(1 << 40)
+                + F.col("src") * F.lit(V_SHIFT)
+                + F.col("dst")
+            ).alias("pk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    matched_parts: list[DataFrame] = []
+    counts: list[int] = []
+    for rnd in range(1, max_rounds + 1):
+        if live.isEmpty():
+            spark = wedges.sparkSession
+            if not matched_parts:
+                return (
+                    spark.createDataFrame(
+                        [], "round int, src bigint, dst bigint, wu bigint"
+                    ),
+                    counts,
+                )
+            out = matched_parts[0]
+            for p in matched_parts[1:]:
+                out = out.unionAll(p)
+            return out, counts
+        vmin = (
+            live.select(F.col("src").alias("v"), "pk")
+            .unionAll(live.select(F.col("dst").alias("v"), "pk"))
+            .groupBy("v")
+            .agg(F.min("pk").alias("vm"))
+        )
+        vs = _state_side(
+            vmin.select(F.col("v").alias("sv"), F.col("vm").alias("svm")),
+            broadcast_state,
+        )
+        vd = _state_side(
+            vmin.select(F.col("v").alias("dv"), F.col("vm").alias("dvm")),
+            broadcast_state,
+        )
+        winners = (
+            live.join(vs, live.src == F.col("sv"))
+            .join(vd, live.dst == F.col("dv"))
+            .filter((F.col("pk") == F.col("svm")) & (F.col("pk") == F.col("dvm")))
+            .select("src", "dst", "wu")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(winners.count())
+        matched_parts.append(
+            winners.select(
+                F.lit(rnd).cast("int").alias("round"), "src", "dst", "wu"
+            )
+        )
+        mv = _state_side(
+            winners.select(F.col("src").alias("mv"))
+            .unionAll(winners.select(F.col("dst").alias("mv")))
+            .distinct(),
+            broadcast_state,
+        )
+        live = (
+            live.join(mv, live.src == F.col("mv"), "left_anti")
+            .join(mv, live.dst == F.col("mv"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"greedy_matching: live edges remain after max_rounds={max_rounds};"
+        " raise max_rounds (constant weights serialize priority chains —"
+        " salt wu with a portable hash)"
+    )

@@ -181,6 +181,9 @@ def load_all() -> dict[str, QueryDef]:
             misra_gries,
             theta_matrix,
             transitions,
+            # r14 tail (same discipline: new modules at the END)
+            drift_monitor,
+            matching,
         )
 
         _loaded = True
