@@ -5,20 +5,29 @@ bytes on the WITHIN-CELL variance (the coarse quantizer already encodes
 the between-cell part). Identical storage (8 codes per vector + the cid
 directory key).
 
-MEASURED FINDING (the draft's claim, resolved by measurement — the
-sessionize-whale "documented finding" discipline): on THIS fixture the
-standard recall win does NOT materialize, and the reason is geometric,
-not an implementation defect. The fixture embeddings are unit-norm and
-near-isotropic: the best cosine against the 16 hash-sampled coarse
-centroids is small, so residual norms AVERAGE 1.21x the raw vectors
-(measured at sf0.01; residual PQ's premise — residual spread below raw
-spread — requires clustered corpora, where centroid(v) absorbs most of
-||v||). Quantization RMS: plain 0.87 vs residual 1.02; pooled recall@10
-over the shared probes: residual 9/5/4 vs plain 10/10/8 at the three
-scales. Both the premise failure (residual norm > raw norm) and the
-honest recall floor are pinned mechanically in
-tests/test_ann_pq_residual.py; a clustered corpus flips the sign, and
-the operator is exactly the layout that wins there.
+MEASURED TWO-REGIME LAW (r13 finding completed r14 — the
+sessionize-whale "documented finding" discipline, both regimes now
+pinned mechanically in tests/test_ann_pq_residual.py):
+
+- Isotropic regime (the sf fixtures — unit-norm, near-isotropic): the
+  premise FAILS. Best cosine against the 16 hash-sampled coarse
+  centroids is small, so residual norms AVERAGE 1.21x the raw vectors
+  (sf0.01); quantization RMS plain 0.87 vs residual 1.02; pooled
+  recall@10 residual 9/5/4 vs plain 10/10/8 at the three scales. Do
+  not default to the residual path on corpora like this.
+- Clustered regime (planted 8-cluster fixture, noise 0.1): the premise
+  HOLDS — residual norms average 0.128 vs raw 1.0 — and the
+  quantizer-level sign FLIPS decisively: reconstruction RMS residual
+  0.104 vs plain 0.243 through the same sampled codebooks. Served
+  recall on that fixture measures residual 13 vs plain 10 pooled hits
+  (pinned as measured). Honesty note: at the suite's 5-query probe
+  pool the recall margin is seed-noise scale — a replica simulation
+  over many seeds puts the pooled direction at +10-15% residual but
+  individual 5-query fixtures swing both ways; the ROBUST clustered
+  law is premise + reconstruction RMS. Converting the RMS win into a
+  dependable recall win takes k-means codebook refinement (the
+  production path pq_codebooks' docstring already names — it changes
+  constants, not consumers) and a larger probe pool.
 
 Pipeline (every stage the proven PQ/IVF replay, with the residual
 subtraction folded in):

@@ -54,7 +54,11 @@ SLAB_MS = 24 * 60 * 60 * 1000  # 1-day slabs
 def sessionize_slabbed_frame(ev: DataFrame) -> DataFrame:
     """The two-stage transform over a (user_id, event_id, ts_ms) frame —
     output schema identical to sessionize.py's _sessionize."""
-    slab = (F.col("ts_ms") / F.lit(SLAB_MS)).cast("bigint").alias("slab")
+    # integer floor division, matching the ts arithmetic everywhere else
+    # (ADVICE r13: float divide-then-truncate was the one float in an
+    # otherwise all-integer path — safe at epoch-ms magnitudes, but the
+    # exact-integer discipline should not carry exceptions)
+    slab = F.expr(f"CAST(ts_ms div {SLAB_MS} AS BIGINT)").alias("slab")
     w1 = Window.partitionBy("user_id", "slab").orderBy("ts_ms", "event_id")
     flagged = ev.select("user_id", "ts_ms", "event_id", slab).select(
         "user_id",

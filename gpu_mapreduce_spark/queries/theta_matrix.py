@@ -48,7 +48,10 @@ from gpu_mapreduce_spark.queries.theta_ops import _K, _SCALE, _U, theta_ops
 from gpu_mapreduce_spark.registry import register
 from gpu_mapreduce_spark.sources.tables import table
 
-_SHINGLE_SRC_CTE = r"""
+# f-string: the KMV parameters interpolate from theta_ops' _K so both
+# engines share ONE constant (ADVICE r13: a hardcoded 64/63 here would
+# silently encode a stale k if theta_ops ever re-tuned)
+_SHINGLE_SRC_CTE = rf"""
 WITH toksrc AS (
     SELECT source, list_filter(regexp_split_to_array(text, '\s+'),
                                t -> t <> '') AS toks
@@ -71,7 +74,7 @@ sk AS MATERIALIZED (
     SELECT src, h FROM (
         SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn
         FROM hs
-    ) WHERE rn <= 64
+    ) WHERE rn <= {_K}
 ),
 kth AS MATERIALIZED (SELECT src, MAX(h) AS kth FROM sk GROUP BY src),
 pairs AS MATERIALIZED (
@@ -101,7 +104,8 @@ inter AS MATERIALIZED (
             SELECT 'sk' AS sec, src AS sa, '*' AS sb, h AS v FROM sk
             UNION ALL
             SELECT 'est', src, '*',
-                   CAST((63::HUGEINT * {_U} * {_SCALE}) // kth AS BIGINT)
+                   CAST(({_K - 1}::HUGEINT * {_U} * {_SCALE}) // kth
+                        AS BIGINT)
             FROM kth
             UNION ALL
             SELECT 'theta', sa, sb, theta FROM pairs
