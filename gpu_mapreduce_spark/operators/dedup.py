@@ -294,33 +294,34 @@ def minhash_band_entries(
     note r06)."""
     nperm = bands * rows
 
-    def _perm_min(i: int) -> Column:
-        # single-arg lambda only: a 2-arg transform lambda would be called
-        # as (element, array_index) and shadow the permutation number
-        return F.array_min(
-            F.transform("shs", lambda s: F.xxhash64(F.lit(seed), F.lit(i), s))
-        )
-
+    # Both projections are built as PARSED SQL text, one py4j call per
+    # column instead of ~8 gateway round-trips per permutation/band (the
+    # Column-object form cost ~1.0 s of pure driver time per call — r14
+    # cProfile of dedup_minhash_lsh). The SQL resolves to the identical
+    # Catalyst tree: integer literals parse as INT exactly like F.lit(int),
+    # so every xxhash64 input — and therefore every signature — is
+    # bit-identical. (Single-arg lambda only, as before: a 2-arg transform
+    # lambda would be called as (element, array_index) and shadow the
+    # permutation number.)
     sig = docs.select(
-        "doc_id", *[_perm_min(i).alias(f"m{i}") for i in range(nperm)]
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(shs, s -> xxhash64({seed}, {i}, s)))"
+            ).alias(f"m{i}")
+            for i in range(nperm)
+        ],
     )
     if checkpoint_sig:
         sig = sig.localCheckpoint(eager=True)
+    entries = ",".join(
+        "named_struct('band', {}, 'bh', xxhash64({}))".format(
+            bi, ",".join(f"m{bi * rows + ri}" for ri in range(rows))
+        )
+        for bi in range(bands)
+    )
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{bi * rows + ri}") for ri in range(rows)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("e"),
+        "doc_id", F.expr(f"explode(array({entries}))").alias("e")
     ).select("doc_id", "e.band", "e.bh")
 
 
@@ -437,23 +438,26 @@ def simhash_sigs(corpus: DataFrame, seed: int = 7, text_col: str = "text") -> Da
         F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(m, 16, 15), 16, 10).cast("long").alias("h2"),
     )
+    # per-bit aggregates and the majority packs are parsed SQL text —
+    # one py4j call per column instead of ~6 per bit (r14; the loops
+    # otherwise cost ~1,200 gateway round-trips of driver time per call)
     aggs = [F.count(F.lit(1)).alias("n")]
     for b in range(SIMHASH_BITS):
         src, sh = ("h1", b) if b < 32 else ("h2", b - 32)
         aggs.append(
-            F.sum(
-                F.shiftrightunsigned(F.col(src), sh).bitwiseAND(F.lit(1))
-            ).alias(f"s{b}")
+            F.expr(f"sum(shiftrightunsigned({src}, {sh}) & 1)").alias(
+                f"s{b}"
+            )
         )
     votes = th.groupBy("doc_id").agg(*aggs)
 
     def _pack(offset: int, width: int) -> Column:
         # bit b set iff the +1/-1 majority vote is positive: 2*sum_b > n
-        packed = F.lit(0).cast("long")
-        for p in range(width):
-            bit = (F.col(f"s{offset + p}") * 2 > F.col("n")).cast("long")
-            packed = packed.bitwiseOR(F.shiftleft(bit, p))
-        return packed
+        terms = " | ".join(
+            f"shiftleft(CAST(s{offset + p} * 2 > n AS BIGINT), {p})"
+            for p in range(width)
+        )
+        return F.expr(f"CAST(({terms}) AS BIGINT)")
 
     sigs = votes.select(
         "doc_id",

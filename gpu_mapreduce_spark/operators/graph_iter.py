@@ -40,11 +40,15 @@ skew-join covers the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from gpu_mapreduce_spark.operators.graph import bidirect
-from gpu_mapreduce_spark.plans.iterate import fixpoint, iterate_n
+from gpu_mapreduce_spark.plans.iterate import (
+    fixpoint_observed,
+    iterate_n,
+    unpersist_checkpoint,
+)
 
 
 def _ckpt_by_dst(df: DataFrame) -> DataFrame:
@@ -233,10 +237,15 @@ def cc_find(
             (F.col("ml") < F.col("label")).alias("changed"),
         )
 
-    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
-        return cur.filter("changed").isEmpty()
-
-    fix, rounds = fixpoint(labels, step, converged, max_iter)
+    # convergence = zero changed labels, observed during the round's own
+    # checkpoint materialization (fixpoint_observed: no probe job)
+    fix, rounds = fixpoint_observed(
+        labels,
+        step,
+        lambda: F.expr("count_if(changed)"),
+        lambda n_changed: n_changed == 0,
+        max_iter,
+    )
     return fix.select("v", F.col("label").alias("zone")), rounds
 
 
@@ -295,10 +304,15 @@ def kcore(
         s2 = _state_side(surv.select(F.col("v").alias("w")), broadcast_state)
         return indeg.join(s2, indeg.v == F.col("w"), "left_semi")
 
-    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
-        return cur.filter(F.col("core_deg") < k).isEmpty()
-
-    fix, rounds = fixpoint(deg0, step, converged, max_iter)
+    # convergence = no surviving vertex below k, observed during the
+    # round's checkpoint materialization (no probe job)
+    fix, rounds = fixpoint_observed(
+        deg0,
+        step,
+        lambda: F.expr(f"count_if(core_deg < {int(k)})"),
+        lambda n_below: n_below == 0,
+        max_iter,
+    )
     return fix, rounds
 
 
@@ -416,10 +430,13 @@ def sssp(
             F.coalesce(F.col("nd") < state.du, state.du.isNull()).alias("changed"),
         )
 
-    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
-        return cur.filter("changed").isEmpty()
-
-    fix, rounds = fixpoint(dist0, step, converged, max_iter)
+    fix, rounds = fixpoint_observed(
+        dist0,
+        step,
+        lambda: F.expr("count_if(changed)"),
+        lambda n_changed: n_changed == 0,
+        max_iter,
+    )
     return fix.select("v", "du"), rounds
 
 
@@ -467,10 +484,13 @@ def sssp_multi(
             F.coalesce(F.col("nd") < state.du, state.du.isNull()).alias("changed"),
         )
 
-    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
-        return cur.filter("changed").isEmpty()
-
-    fix, rounds = fixpoint(dist0, step, converged, max_iter)
+    fix, rounds = fixpoint_observed(
+        dist0,
+        step,
+        lambda: F.expr("count_if(changed)"),
+        lambda n_changed: n_changed == 0,
+        max_iter,
+    )
     return fix.select("s", "v", "du"), rounds
 
 
@@ -824,10 +844,13 @@ def luby_find(
             .alias("status"),
         )
 
-    def converged(_prev: DataFrame, cur: DataFrame) -> bool:
-        return cur.filter(F.col("status") == "u").isEmpty()
-
-    fix, rounds = fixpoint(state0, step, converged, max_iter)
+    fix, rounds = fixpoint_observed(
+        state0,
+        step,
+        lambda: F.expr("count_if(status = 'u')"),
+        lambda n_undecided: n_undecided == 0,
+        max_iter,
+    )
     return fix.filter(F.col("status") == "i").select("v"), rounds
 
 
@@ -938,8 +961,13 @@ def ktruss_edges(
     # current, degree), while the per-round cost drops by the whole
     # degree-recompute + two annotation joins the old re-orientation paid
     # (measured 5.4-6.4 s -> see BASELINE.md on the registered query).
-    cur = graph._orient(canon).localCheckpoint(eager=True)
-    n_cur = cur.count()
+    obs0 = Observation()
+    cur = (
+        graph._orient(canon)
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_cur = obs0.get["n"]
     rounds = 0
     if n_cur == 0:
         return (
@@ -950,12 +978,17 @@ def ktruss_edges(
             ),
             rounds,
         )
+    prev_ckpt = cur  # the checkpointed DF backing the current round
     for _ in range(max_rounds):
         rounds += 1
         supp = edge_support(cur)
         # keep carries the support column so the converged exit needs NO
         # extra triangle pass (see docstring: at a fixed point the support
-        # computed on cur is the final subgraph's support).
+        # computed on cur is the final subgraph's support). The surviving
+        # edge count — the ONE driver scalar per round — is observed
+        # during the checkpoint materialization itself (r14: the separate
+        # keep.count() job re-scanned the checkpointed set every round).
+        obs = Observation()
         keep = (
             cur.select(
                 "lo",
@@ -974,9 +1007,12 @@ def ktruss_edges(
                 .alias("support"),
             )
             .filter(F.col("support") >= k - 2)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_new = keep.count()  # ONE driver scalar per round
+        n_new = obs.get["n"]
+        unpersist_checkpoint(prev_ckpt)  # superseded round snapshot
+        prev_ckpt = keep
         if n_new == n_cur or n_new == 0:
             return keep.select("src", "dst", "support"), rounds
         cur = keep.select("lo", "hi")
@@ -1047,6 +1083,7 @@ def betweenness_sources(
             .groupBy(F.col("s"), F.col("dst").alias("nv"))
             .agg(F.sum("sigma").alias("sigma"))
         )
+        obs = Observation()
         nxt = (
             nxt.join(
                 visited,
@@ -1054,9 +1091,12 @@ def betweenness_sources(
                 "left_anti",
             )
             .select("s", F.col("nv").alias("v"), "sigma")
+            # frontier size observed during the checkpoint itself —
+            # zero extra probe jobs (the fixpoint_observed discipline)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():  # ONE driver probe per round
+        if obs.get["n"] == 0:
             break
         depth += 1
         layers.append(nxt)
@@ -1231,10 +1271,15 @@ def boruvka_msf(
         # min packed key decodes to the edge, min_by carries the other
         # endpoint's component (pk is unique within a component — each
         # edge contributes its two directions to two DIFFERENT mc groups)
-        m = arcs2.groupBy("mc").agg(
-            F.min("pk").alias("mpk"), F.min_by("oc", "pk").alias("oc")
-        ).localCheckpoint(eager=True)
-        if m.isEmpty():  # no cross-component edges anywhere: done
+        obs = Observation()
+        m = (
+            arcs2.groupBy("mc")
+            .agg(F.min("pk").alias("mpk"), F.min_by("oc", "pk").alias("oc"))
+            # emptiness observed during the checkpoint — no probe job
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if obs.get["n"] == 0:  # no cross-component edges anywhere: done
             break
         rounds += 1
         # decode with INTEGER division: `/` is DOUBLE division in Spark,
@@ -1513,8 +1558,9 @@ def jp_coloring(
     spark = uncolored.sparkSession
     colored = spark.createDataFrame([], "v bigint, color bigint")
     rounds = 0
+    n_uncolored = None  # None = probe the initial state once; observed after
     for _ in range(max_rounds):
-        if uncolored.isEmpty():
+        if (n_uncolored == 0) or (n_uncolored is None and uncolored.isEmpty()):
             return colored.orderBy("v"), rounds
         rounds += 1
         # local-max test among UNCOLORED neighbors only: state joins on
@@ -1559,9 +1605,16 @@ def jp_coloring(
             .agg(F.min("c").cast("bigint").alias("color"))
         )
         colored = colored.unionAll(chosen).localCheckpoint(eager=True)
-        uncolored = uncolored.join(winners, "v", "left_anti").localCheckpoint(
-            eager=True
+        # remaining-uncolored count observed during the checkpoint — the
+        # loop-top emptiness probe then costs no job (fixpoint_observed
+        # discipline)
+        obs = Observation()
+        uncolored = (
+            uncolored.join(winners, "v", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
+        n_uncolored = obs.get["n"]
     raise RuntimeError(
         f"jp_coloring: not finished within max_rounds={max_rounds};"
         " raise max_rounds (priority chains serialize around hubs)"
@@ -1647,8 +1700,9 @@ def greedy_matching(
     )
     matched_parts: list[DataFrame] = []
     counts: list[int] = []
+    n_live = None  # None = probe the initial state once; observed after
     for rnd in range(1, max_rounds + 1):
-        if live.isEmpty():
+        if (n_live == 0) or (n_live is None and live.isEmpty()):
             spark = wedges.sparkSession
             if not matched_parts:
                 return (
@@ -1675,14 +1729,18 @@ def greedy_matching(
             vmin.select(F.col("v").alias("dv"), F.col("vm").alias("dvm")),
             broadcast_state,
         )
+        # the per-round matched count — the ONE driver scalar — is
+        # observed during the winners checkpoint itself (no count job)
+        wobs = Observation()
         winners = (
             live.join(vs, live.src == F.col("sv"))
             .join(vd, live.dst == F.col("dv"))
             .filter((F.col("pk") == F.col("svm")) & (F.col("pk") == F.col("dvm")))
             .select("src", "dst", "wu")
+            .observe(wobs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        counts.append(winners.count())
+        counts.append(int(wobs.get["n"]))
         matched_parts.append(
             winners.select(
                 F.lit(rnd).cast("int").alias("round"), "src", "dst", "wu"
@@ -1694,11 +1752,14 @@ def greedy_matching(
             .distinct(),
             broadcast_state,
         )
+        lobs = Observation()
         live = (
             live.join(mv, live.src == F.col("mv"), "left_anti")
             .join(mv, live.dst == F.col("mv"), "left_anti")
+            .observe(lobs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_live = lobs.get["n"]
     raise RuntimeError(
         f"greedy_matching: live edges remain after max_rounds={max_rounds};"
         " raise max_rounds (constant weights serialize priority chains —"

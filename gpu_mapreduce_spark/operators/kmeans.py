@@ -65,14 +65,15 @@ def _init_centroids(pts: DataFrame, k: int) -> list[tuple[int, int, int]]:
 
 
 def _assign(pts: DataFrame, cents: list[tuple[int, int, int]]) -> DataFrame:
+    # one parsed expression per round instead of ~15 py4j round-trips per
+    # centroid (r14; integer literals parse identically to F.lit(int))
     scores = [
-        ((F.col("xu") - F.lit(cx)) * (F.col("xu") - F.lit(cx))
-         + (F.col("yu") - F.lit(cy)) * (F.col("yu") - F.lit(cy))) * PACK
-        + F.lit(ck)
+        f"((xu - ({cx})) * (xu - ({cx}))"
+        f" + (yu - ({cy})) * (yu - ({cy}))) * {PACK} + {ck}"
         for ck, cx, cy in cents
     ]
-    best = scores[0] if len(scores) == 1 else F.least(*scores)
-    return pts.withColumn("ck", (best % PACK).cast("long"))
+    best = scores[0] if len(scores) == 1 else f"least({','.join(scores)})"
+    return pts.withColumn("ck", F.expr(f"CAST(({best}) % {PACK} AS BIGINT)"))
 
 
 def kmeans_2d(
@@ -121,11 +122,11 @@ def _d2_expr(cands: list[tuple[int, int, int]]):
     """min squared distance to the chosen set — codegen least() over
     |C| expressions, the `_assign` projection shape."""
     terms = [
-        (F.col("xu") - F.lit(cx)) * (F.col("xu") - F.lit(cx))
-        + (F.col("yu") - F.lit(cy)) * (F.col("yu") - F.lit(cy))
+        f"((xu - ({cx})) * (xu - ({cx}))"
+        f" + (yu - ({cy})) * (yu - ({cy})))"
         for _id, cx, cy in cands
     ]
-    return terms[0] if len(terms) == 1 else F.least(*terms)
+    return F.expr(terms[0] if len(terms) == 1 else f"least({','.join(terms)})")
 
 
 def kmeanspp_seed(
@@ -218,17 +219,18 @@ def kmeanspp_seed(
         cands = sorted(chosen)
         idx_of = {cid: i for i, (cid, _x, _y) in enumerate(cands)}
         scores = [
-            (
-                (F.col("xu") - F.lit(cx)) * (F.col("xu") - F.lit(cx))
-                + (F.col("yu") - F.lit(cy)) * (F.col("yu") - F.lit(cy))
-            )
-            * KPP_CAP
-            + F.lit(idx_of[cid])
+            f"((xu - ({cx})) * (xu - ({cx}))"
+            f" + (yu - ({cy})) * (yu - ({cy})))"
+            f" * {KPP_CAP} + {idx_of[cid]}"
             for cid, cx, cy in cands
         ]
-        best = F.least(*scores) if len(scores) > 1 else scores[0]
+        best = (
+            f"least({','.join(scores)})" if len(scores) > 1 else scores[0]
+        )
         wrows = (
-            pts.withColumn("ci", (best % KPP_CAP).cast("long"))
+            pts.withColumn(
+                "ci", F.expr(f"CAST(({best}) % {KPP_CAP} AS BIGINT)")
+            )
             .groupBy("ci")
             .agg(F.count(F.lit(1)).alias("w"))
             .collect()

@@ -113,10 +113,18 @@ def _sig_bands(emb: Column, seed: int) -> list[Column]:
     weights = plane_weights(seed)
     bits = []
     for p in range(_PLANES):
+        # one parsed ±1.0 literal row per plane (r14): the F.lit-per-
+        # element form cost ~2 py4j round-trips × dim × _PLANES per call;
+        # 1.0D/-1.0D parse to the exact doubles F.lit produced
+        wrow = F.expr(
+            "array({})".format(
+                ",".join(f"{w!r}D" for w in weights[p])
+            )
+        )
         proj = F.aggregate(
             F.zip_with(
                 emb,
-                F.array(*[F.lit(w) for w in weights[p]]),
+                wrow,
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
@@ -266,15 +274,22 @@ def nearest_cid(emb: Column, centroid_rows: list[tuple[int, list[float]]]) -> Co
     function fold (112 s vs 28 s). The O(k) literal fold is also the only
     shape whose analysis cost stays flat at store-scale k."""
     rows = sorted((int(cid), [float(x) for x in ce]) for cid, ce in centroid_rows)
-    cmat = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("int").alias("cid"),
-                F.lit(ce).alias("ce"),
-            )
-            for cid, ce in rows
-        ]
+    # ONE parsed expression for the whole k×d matrix. The previous
+    # F.struct(F.lit(cid), F.lit(ce)) per centroid looked like O(k)
+    # Python calls, but PySpark expands lit(list) into one lit() py4j
+    # round-trip PER ELEMENT — k·d ≈ 5,800 socket round-trips that cost
+    # ~1.5 s of pure driver time per ivf_assign call (r14 cProfile of
+    # ann_index_append). CAST('<repr>' AS DOUBLE) round-trips each value
+    # exactly (shortest-repr parse is correctly rounded), so the literal
+    # tree — and every downstream similarity — is bit-identical to the
+    # lit() form; the Catalyst tree is unchanged.
+    elems = ",".join(
+        "named_struct('cid', CAST({} AS INT), 'ce', array({}))".format(
+            cid, ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in ce)
+        )
+        for cid, ce in rows
     )
+    cmat = F.expr(f"array({elems})")
     best = F.array_max(
         F.transform(
             cmat,
@@ -639,6 +654,29 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             f"(10000 * CAST(coalesce(n_hits, 0) AS BIGINT)) div {int(k)}"
         ).alias("recall_u"),
     )
+
+
+def recall_report(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """recall_at_k's per-query rows PLUS the pooled qid = -1 row
+    ((10000 * total hits) div (|Q| * k)) — the shared report shape of
+    ann_recall_report / ann_pq_recall / mrl_truncation_recall.
+
+    The per-query table is localCheckpoint'ed (<= |Q| rows — O(1))
+    BEFORE the pooled aggregate is derived from it: a plain
+    `per.unionByName(per.agg(...))` re-executes the whole upstream
+    subtree for the aggregate branch, and that subtree contains the one
+    corpus-sized brute-force pass the evaluation deliberately schedules
+    (r14 plan audit: the duplicated SortMergeJoin branches). With the
+    checkpoint the heavy pass runs exactly once per evaluation at any
+    scale; the pooled row folds over |Q| materialized rows."""
+    per = recall_at_k(approx, exact, k).localCheckpoint(eager=True)
+    pooled = per.agg(
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        F.expr(f"(10000 * sum(n_hits)) div (count(1) * {int(k)})")
+        .cast("bigint")
+        .alias("recall_u"),
+    ).select(F.lit(-1).cast("bigint").alias("qid"), "n_hits", "recall_u")
+    return per.unionByName(pooled)
 
 
 def quantize_int8(emb: DataFrame) -> DataFrame:

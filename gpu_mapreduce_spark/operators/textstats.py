@@ -321,10 +321,16 @@ def bloom_probe(grams: DataFrame, bits: str) -> DataFrame:
         sum(1 << k for k in range(64) if bits[j * 64 + k] == "1")
         for j in range(BLOOM_BITS // 64)
     ]
-    # two's-complement fold into BIGINT range; bit k survives the cast
-    warr = F.array(
-        *[F.lit(w - (1 << 64) if w >= 1 << 63 else w).cast("bigint")
-          for w in words]
+    # two's-complement fold into BIGINT range; bit k survives the cast.
+    # One parsed literal array (r14): the per-word F.lit loop cost ~2
+    # py4j round-trips per word × BLOOM_BITS/64 words per call.
+    warr = F.expr(
+        "array({})".format(
+            ",".join(
+                f"CAST({w - (1 << 64) if w >= 1 << 63 else w} AS BIGINT)"
+                for w in words
+            )
+        )
     ).alias("_bw")
     cond = None
     for j in range(BLOOM_K):

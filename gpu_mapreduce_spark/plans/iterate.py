@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 
 
 def unpersist_checkpoint(df: DataFrame) -> None:
@@ -75,6 +75,47 @@ def fixpoint(
         done = converged(cur, nxt)
         unpersist_checkpoint(cur)
         if done:
+            return nxt, i
+        cur = nxt
+    return cur, max_iter
+
+
+def fixpoint_observed(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    done_metric: Callable[[], Column],
+    done: Callable[[int], bool],
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """`fixpoint` with the convergence probe FUSED into the checkpoint
+    (r14 optimization): `done_metric()` builds an aggregate Column that is
+    observed (`Dataset.observe` / CollectMetrics) while the round's new
+    state materializes under `localCheckpoint(eager=True)` — the eager
+    checkpoint is a Spark action, so the metric is available immediately
+    and convergence costs ZERO extra jobs. The classic loop paid one
+    scheduled probe job per round (isEmpty/count over the just-
+    checkpointed state — cheap per round, but it is a driver-blocking
+    scheduling barrier × rounds, and at 100 TB a count probe re-reads the
+    whole cached state); here the metric rides the materialization pass
+    map-side for free.
+
+    `done_metric` is a THUNK (a fresh Column per round — Observation
+    rejects reuse of a consumed observation, and a fresh alias keeps each
+    round's CollectMetrics node independent); `done(value)` decides
+    convergence from the observed scalar. Rows are untouched:
+    CollectMetrics is a transparent pass-through node, so results are
+    bit-identical to the probe form."""
+    cur = state.localCheckpoint(eager=True)
+    for i in range(1, max_iter + 1):
+        obs = Observation()
+        nxt = (
+            step(cur)
+            .observe(obs, done_metric().alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        val = obs.get["m"]
+        unpersist_checkpoint(cur)
+        if done(val):
             return nxt, i
         cur = nxt
     return cur, max_iter

@@ -236,11 +236,4 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(
         table(spark, sf_dir, "embeddings"), _queries(spark, sf_dir), k=TOP_K
     )
-    per = similarity.recall_at_k(approx, exact, TOP_K)
-    pooled = per.agg(
-        F.sum("n_hits").cast("bigint").alias("n_hits"),
-        F.expr(f"(10000 * sum(n_hits)) div (count(1) * {TOP_K})")
-        .cast("bigint")
-        .alias("recall_u"),
-    ).select(F.lit(-1).cast("bigint").alias("qid"), "n_hits", "recall_u")
-    return per.unionByName(pooled)
+    return similarity.recall_report(approx, exact, TOP_K)

@@ -105,11 +105,4 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_t = q.select("qid", F.slice("qe", 1, _TRUNC).alias("qe"))
     approx = similarity.cosine_topk(emb_t, q_t, k=TOP_K)
     exact = similarity.cosine_topk(emb, q, k=TOP_K)
-    per = similarity.recall_at_k(approx, exact, TOP_K)
-    pooled = per.agg(
-        F.sum("n_hits").cast("bigint").alias("n_hits"),
-        F.expr(f"(10000 * sum(n_hits)) div (count(1) * {TOP_K})")
-        .cast("bigint")
-        .alias("recall_u"),
-    ).select(F.lit(-1).cast("bigint").alias("qid"), "n_hits", "recall_u")
-    return per.unionByName(pooled)
+    return similarity.recall_report(approx, exact, TOP_K)
