@@ -84,15 +84,26 @@ def prepare_warcs(warcs: DataFrame) -> DataFrame:
 
 
 def prepare_arcs_deg(edges: DataFrame) -> tuple[DataFrame, int]:
-    """(arc ⋈ out-degree table, vertex count) for pagerank."""
+    """(arc ⋈ out-degree table, vertex count) for pagerank.
+
+    The |V|-row degree table is checkpointed with its row count observed
+    (r14): the previous `deg.count()` probe recomputed the whole
+    bidirect + groupBy from the source a second time; now the degree
+    aggregate runs once and the annotation join reads the materialized
+    table."""
     arcs = bidirect(edges)
-    deg = arcs.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    obs = Observation()
+    deg = (
+        arcs.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    n = int(obs.get["n"])
     arcs_deg = _ckpt_by_dst(
         arcs.join(deg, arcs.src == deg.v).select("src", "dst", "outdeg")
     )
-    n = deg.count()
+    unpersist_checkpoint(deg)  # folded into arcs_deg; no later consumer
     return arcs_deg, n
 
 
@@ -168,6 +179,10 @@ def prepare_arcs_deg_bucketed(
     """(bucketed-by-src arc ⋈ out-degree table, vertex count) for pagerank
     with ``broadcast_state=False``."""
     arcs = bidirect(edges)
+    # NOTE: deliberately NOT the prepare_arcs_deg checkpoint-and-observe
+    # form — _bucketed_by_src memoizes on the canonicalized plan hash,
+    # and a checkpointed deg (LogicalRDD with a fresh RDD id per call)
+    # would miss the memo every run and rewrite the bucketed table (r14).
     deg = arcs.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

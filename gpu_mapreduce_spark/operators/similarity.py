@@ -778,7 +778,11 @@ def power_iteration_top_direction(
     vec = [int(vscale)] * dim
 
     def _w_frame(v: list[int]) -> DataFrame:
-        vlit = F.array(*[F.lit(int(x)) for x in v])
+        # one parsed literal per iteration (r14: F.lit-per-element cost
+        # ~2 py4j round-trips × dim per power-iteration round)
+        vlit = F.expr(
+            "array({})".format(",".join(str(int(x)) for x in v))
+        )
         # every product is cast to DOUBLE explicitly: Spark coerces
         # float * bigint to FLOAT (single-precision multiply), DuckDB to
         # DOUBLE — without the cast the floor flips on last-ulp boundaries

@@ -39,7 +39,7 @@ it. Nothing data-sized shuffles twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_mapreduce_spark.registry import register
@@ -81,6 +81,10 @@ def arrival_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(hour, type) integer moment baseline plus K={_K}-sigma spike
     flags over the per-(day, hour, type) arrival counts — see module
     docstring."""
+    # fine has THREE consumers (the moment fold, the mom rows branch and
+    # the flag join) — materialize the one stream-touching aggregate once
+    # (r14: the lazy form re-ran the events scan+group per branch, so the
+    # docstring's "the stream is touched once" was only true per-branch).
     fine = (
         table(spark, sf_dir, "events")
         .select(
@@ -90,13 +94,22 @@ def arrival_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d", "hh", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    mom = fine.groupBy("hh", "event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cnt").cast("bigint").alias("s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s2"),
+    # the BIGINT-envelope scalar rides the baseline's own checkpoint
+    # (fixpoint_observed discipline: no separate probe job)
+    obs = Observation()
+    mom = (
+        fine.groupBy("hh", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cnt").cast("bigint").alias("s1"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s2"),
+        )
+        .observe(obs, F.max(F.col("n") * F.col("s2")).alias("env"))
+        .localCheckpoint(eager=True)
     )
-    env = mom.agg(F.max(F.col("n") * F.col("s2"))).collect()[0][0]
+    env = obs.get["env"]
     if env is not None and env >= 1 << 62:
         raise RuntimeError(
             f"arrival_rate_anomaly: n*s2 = {env} breaches the BIGINT"
