@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpu_mapreduce_spark.plans.iterate import unpersist_checkpoint
+
 WORD_RE = "[a-z0-9]+"
 K_MERGES = 8
 
@@ -101,14 +103,19 @@ def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     (non-overlapping): fold prefixed symbols, appending bare `b` when the
     accumulator ends with ' '+a and the element is ' '+b (which turns the
     state's tail symbol a into a||b), else appending the element. All
-    non-state columns pass through."""
-    fold = F.aggregate(
-        F.expr(f"transform({_SY}, t -> ' ' || t)"),
-        F.lit(""),
-        lambda acc, x: F.when(
-            acc.endswith(" " + a) & (x == F.lit(" " + b)),
-            F.concat(acc, F.lit(b)),
-        ).otherwise(F.concat(acc, x)),
+    non-state columns pass through.
+
+    The fold is built as ONE parsed SQL expression (r15; the r14
+    nearest_cid/minhash pattern): the F.aggregate lambda form cost ~20
+    py4j round-trips per call and this runs once per round per train plus
+    K times per encode. Tokens are [a-z0-9]+ by construction (WORD_RE,
+    closed under concatenation), so embedding them in single-quoted SQL
+    literals needs no escaping — asserted below, never assumed."""
+    assert a.isalnum() and b.isalnum(), (a, b)  # SQL-literal safety
+    fold = F.expr(
+        f"aggregate(transform({_SY}, t -> ' ' || t), '',"
+        f" (acc, x) -> CASE WHEN endswith(acc, ' {a}') AND x = ' {b}'"
+        f" THEN concat(acc, '{b}') ELSE concat(acc, x) END)"
     )
     carry = [c for c in words.columns if c != "s"]
     return words.select(*carry, fold.alias("s"))
@@ -123,18 +130,40 @@ def bpe_train(
     registered oracle degrades identically (its per-round CTEs LEFT JOIN
     an empty argmax row, leaving states unchanged and emitting no merge
     row), so an undersized corpus yields a comparable gate result instead
-    of a hard job failure (r08 ADVICE). Per-round lineage is cut with an
-    eager localCheckpoint (vocab-sized state; the cc_find discipline)."""
+    of a hard job failure (r08 ADVICE). Per-round lineage is cut with a
+    localCheckpoint (vocab-sized state; the cc_find discipline).
+
+    ONE scheduled job per round (r15): the rewrite is checkpointed
+    LAZILY, so the next round's argmax action both materializes it (the
+    fold runs exactly once — localCheckpoint persists partitions as they
+    are first computed and truncates lineage after that job) and collects
+    the winning pair. The classic form paid two jobs per round (eager
+    checkpoint + argmax collect) for the same work; only the final
+    round's rewrite needs its own eager job since no later argmax reads
+    it. A superseded state is unpersisted only AFTER the action that
+    materialized its successor — unpersisting earlier would free blocks
+    the pending lazy fold still has to read."""
     docw, words = word_tables(docs)
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
+    pending: DataFrame | None = None  # superseded state awaiting unpersist
     for step in range(1, k + 1):
+        # one job: materializes the lazy checkpoint of `words` (rounds >= 2)
+        # while streaming its rows into the pair-count argmax
         best = best_pair(pair_counts(words))
+        if pending is not None:
+            unpersist_checkpoint(pending)
+            pending = None
         if best is None:  # merge capacity exhausted: every word is 1 symbol
             break
         a, b, cnt = best
         merges.append((step, a, b, cnt))
-        words = apply_merge(words, a, b).localCheckpoint(eager=True)
+        nxt = apply_merge(words, a, b).localCheckpoint(eager=(step == k))
+        if step == k:
+            unpersist_checkpoint(words)
+        else:
+            pending = words
+        words = nxt
     return merges, words, docw
 
 
@@ -197,6 +226,83 @@ def encode_with_merges(
                     ),
                 )
             ).alias("tokens_digest"),
+        )
+    )
+
+
+def encode_pair_with_merges(
+    docs: DataFrame,
+    old: list[tuple[str, str]],
+    new: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode every document under TWO merge lists in ONE corpus pass
+    (r15; guide §2.4 remove passes outright): tokenizer_swap previously
+    ran encode_with_merges twice — two tokenize+posexplode scans, two
+    doc-keyed digest shuffles — then inner-joined on doc_id. Both encodes
+    consume the same (doc_id, pos, word) stream and the same distinct-word
+    vocab, so one broadcast of (word, s_old, s_new) plus one doc-keyed
+    aggregate computes all four outputs; the join disappears (a doc emits
+    a row iff it has >= 1 token, identically under both vocabs, so the
+    inner join was the identity pairing). Returns (doc_id, n_old, dg_old,
+    n_new, dg_new) — bit-identical to the joined two-pass form: pos is
+    unique per doc, so the shared array_sort orders exactly as each
+    per-encode sort did."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("pos", "word"),
+    )
+    voc = toks.select("word").distinct().select(
+        "word",
+        F.regexp_replace("word", "(.)", " $1").alias("s"),
+        F.regexp_replace("word", "(.)", " $1").alias("s_new_src"),
+    )
+    for a, b in old:
+        voc = apply_merge(voc, a, b)
+    voc = voc.select(
+        "word", F.col("s").alias("s_old"), F.col("s_new_src").alias("s")
+    )
+    for a, b in new:
+        voc = apply_merge(voc, a, b)
+    voc = voc.select("word", "s_old", F.col("s").alias("s_new"))
+    # bcast-audit: bounded (vocab table)
+    enc = toks.join(F.broadcast(voc), "word")
+
+    def tok_len(col: str) -> F.Column:
+        return (
+            F.length(col) - F.length(F.translate(col, " ", ""))
+        ).cast("bigint")
+
+    def digest(field: str) -> F.Column:
+        # one shared sorted (pos, s_old, s_new) list per doc, two md5 reads
+        return F.md5(
+            F.concat_ws("", F.transform(F.col("seq"), lambda x: x[field]))
+        )
+
+    return (
+        enc.select(
+            "doc_id",
+            "pos",
+            "s_old",
+            "s_new",
+            tok_len("s_old").alias("n_o"),
+            tok_len("s_new").alias("n_n"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_o").cast("bigint").alias("n_old"),
+            F.sum("n_n").cast("bigint").alias("n_new"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "s_old", "s_new"))
+            ).alias("seq"),
+        )
+        .select(
+            "doc_id",
+            "n_old",
+            digest("s_old").alias("dg_old"),
+            "n_new",
+            digest("s_new").alias("dg_new"),
         )
     )
 

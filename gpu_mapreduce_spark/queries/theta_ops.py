@@ -11,10 +11,11 @@ are unrelated.)
 
 Sketch: the _K = 64 smallest DISTINCT portable 60-bit hashes of each
 source's shingle stream (sources A = even doc_ids, B = doc_ids % 3 == 0
-— genuinely overlapping shingle sets). Plan per source: per-doc distinct
-shingles (dedup.shingle_set) → hash → global distinct (a partial
-aggregate dedupes map-side, so the exchange ships per-partition-distinct
-hashes) → TakeOrderedAndProject k — no full sort, no window. The
+— genuinely overlapping shingle sets). Plan (r15, kmv_sketch_pair): ONE
+tagged pass — per-doc distinct shingles (dedup.shingle_set) → hash →
+source tags exploded map-side → one k-min-distinct partial per
+(scan-partition, tag), folded driver-side by k-min union — no full
+sort, no window, no global distinct materialization. The
 UNION sketch is computed FROM THE SKETCHES (k smallest of S_A ∪ S_B),
 while the oracle builds it from the raw distinct union — equality
 through the hash gate IS the KMV mergeability law (the k smallest of a
@@ -73,6 +74,55 @@ def kmv_sketch(docs: DataFrame, k: int = _K) -> list[int]:
         .collect()
     )
     return [r.h for r in rows]
+
+
+def kmv_sketch_pair(docs: DataFrame, k: int = _K) -> tuple[list[int], list[int]]:
+    """BOTH source sketches (A = even doc_ids, B = doc_id % 3 == 0) in ONE
+    tagged corpus pass (r15; guide §2.4 remove passes outright — the two
+    kmv_sketch jobs each re-scanned and re-shingled the corpus, with the
+    %6 overlap shingled twice).
+
+    Topology = stream_theta_ingest's partial fold, batched: every shingle
+    hash is tagged with the sources it belongs to (exploded map-side, no
+    shuffle), then ONE aggregate per (scan-partition, tag) computes that
+    partition's k smallest distinct hashes. The group key includes
+    spark_partition_id(), so each group lives entirely in one scan
+    partition and the partial collect_set completes map-side holding the
+    same per-partition distinct-hash state the classic plan's partial
+    DISTINCT aggregate held — the exchange carries each within-partition
+    distinct hash once, exactly the bytes the two classic distinct
+    exchanges carried combined, in half the passes. The driver folds the
+    <= 2 * partitions * k candidate rows by k-min union — exact for ANY
+    split by the KMV mergeability law (the k smallest distinct hashes of
+    a union are each among their own part's k smallest), the same law
+    stream_theta_ingest's gate proves against theta_sketch_ops. The
+    arbitrary-split invariance also makes the fold retry-safe: a
+    recomputed partition changes which partial a hash lands in, never the
+    folded sketch."""
+    both = docs.filter(
+        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)
+    )
+    sh = dedup.shingle_set(both)
+    tagged = sh.select(
+        F.explode(
+            F.expr(
+                "filter(array(CASE WHEN doc_id % 2 = 0 THEN 'A' END,"
+                " CASE WHEN doc_id % 3 = 0 THEN 'B' END),"
+                " t -> t IS NOT NULL)"
+            )
+        ).alias("tag"),
+        hash60(F.col("sh")).alias("h"),
+    )
+    parts = (
+        tagged.groupBy(F.spark_partition_id().alias("pid"), "tag")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+        .select("tag", "ks")
+        .collect()
+    )
+    acc: dict[str, set[int]] = {"A": set(), "B": set()}
+    for r in parts:
+        acc[r.tag].update(r.ks)
+    return sorted(acc["A"])[:k], sorted(acc["B"])[:k]
 
 
 def theta_ops(ska: list[int], skb: list[int], k: int = _K) -> dict[str, int]:
@@ -179,8 +229,7 @@ def theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketches of two overlapping document sources plus the O(k)
     theta set-algebra read-outs — see module docstring."""
     docs = table(spark, sf_dir, "documents")
-    ska = kmv_sketch(docs.filter(F.col("doc_id") % 2 == 0))
-    skb = kmv_sketch(docs.filter(F.col("doc_id") % 3 == 0))
+    ska, skb = kmv_sketch_pair(docs)
     ops = theta_ops(ska, skb)
     sku = ops.pop("_sku")
     rows = (

@@ -148,8 +148,8 @@ def tokenizer_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-table diff (operators/bpe.merge_diff, padded to K); 'doc' rows =
     (doc_id, n_old, n_new) encoded lengths for every document whose token
     sequence changed under the full-corpus retrain. Both merge lists are
-    session-memoized bounded artifacts; the corpus is scanned twice (one
-    encode per vocab), nothing else is corpus-sized."""
+    session-memoized bounded artifacts; the corpus is scanned ONCE (both
+    vocabs ride one broadcast — r15), nothing else is corpus-sized."""
     docs = table(spark, sf_dir, "documents")
     old = _bpe_merges_old(spark, sf_dir)
     new = _bpe_merges(spark, sf_dir)
@@ -161,18 +161,12 @@ def tokenizer_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="kind string, id bigint, old_token string, new_token string,"
         " rank_in_new bigint, n_old bigint, n_new bigint",
     )
-    o_enc = bpe.encode_with_merges(docs, old).select(
-        "doc_id",
-        F.col("n_tokens_bpe").alias("n_old"),
-        F.col("tokens_digest").alias("dg_old"),
-    )
-    n_enc = bpe.encode_with_merges(docs, new).select(
-        "doc_id",
-        F.col("n_tokens_bpe").alias("n_new"),
-        F.col("tokens_digest").alias("dg_new"),
-    )
+    # ONE corpus pass encodes under BOTH vocabs (r15, guide §2.4): the
+    # two-pass encode + doc_id self-join shape scanned and shuffled the
+    # corpus twice for the identity pairing — see
+    # operators/bpe.encode_pair_with_merges for the equivalence argument
     doc_df = (
-        o_enc.join(n_enc, "doc_id")
+        bpe.encode_pair_with_merges(docs, old, new)
         .filter(F.col("dg_old") != F.col("dg_new"))
         .select(
             F.lit("doc").alias("kind"),
