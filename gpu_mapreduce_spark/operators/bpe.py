@@ -45,12 +45,23 @@ K_MERGES = 8
 _SY = "slice(split(s, ' '), 2, size(split(s, ' ')) - 1)"  # symbols array
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Widen a corpus frame to full parallelism before a compute-bound
+    tokenize pass (r15; the queries/textstats._wide discipline, local
+    copy to keep the operators→queries layering clean): the documents
+    parquet arrives in ONE input split at test scale, so tokenization
+    otherwise runs single-task — measured 10.9-12.2 s serial at the 10x
+    scale point for the encode paths. No pushdown lost: these passes
+    read every row."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def word_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(docw, words): per-doc word counts (doc_id, word, n) and the initial
     weighted symbol table (word, wt, s) with s = one char per symbol.
     docw is eagerly checkpointed — it feeds both the word fold and the
     final per-doc token-count join."""
-    toks = docs.select(
+    toks = _wide(docs).select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
@@ -201,7 +212,7 @@ def encode_with_merges(
     the doc-keyed digest aggregate. At 100 TB the vocab join IS how a
     tokenizer service ships its trie — swap the broadcast table for the
     real tokenizer's Arrow UDF without changing the plan."""
-    toks = docs.select(
+    toks = _wide(docs).select(
         "doc_id",
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
@@ -247,7 +258,7 @@ def encode_pair_with_merges(
     n_new, dg_new) — bit-identical to the joined two-pass form: pos is
     unique per doc, so the shared array_sort orders exactly as each
     per-encode sort did."""
-    toks = docs.select(
+    toks = _wide(docs).select(
         "doc_id",
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
@@ -319,7 +330,7 @@ def fertility_units(
     encode_with_merges: one corpus token pass, one broadcast vocab join,
     one doc-keyed aggregate. Documents with no tokens emit no row (their
     fertility is undefined)."""
-    toks = docs.select(
+    toks = _wide(docs).select(
         "doc_id",
         *carry,
         F.explode(

@@ -346,13 +346,29 @@ def ivf_probes(
     )
 
 
-def ivf_rerank(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+def ivf_candidates(cells: DataFrame, probes: DataFrame) -> DataFrame:
+    """The probed-cell candidate stream (cells ⋈ probes minus self-pairs)
+    — ivf_rerank's first stage, exposed so a caller needing a candidate
+    statistic can observe it on the SAME pass instead of scheduling a
+    separate count job over the probed cells (r15; nprobe_tuning_curve)."""
+    # bcast-audit: bounded (probe list ∝ query set)
+    return cells.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+
+
+def ivf_rerank(
+    cells: DataFrame,
+    probes: DataFrame,
+    k: int,
+    cand: DataFrame | None = None,
+) -> DataFrame:
     """Exact quantized-cosine re-rank of the probed cells' vectors:
-    top-k per query over cells ⋈ probes (the IVF probe's second stage)."""
+    top-k per query over cells ⋈ probes (the IVF probe's second stage).
+    ``cand`` overrides the candidate stream (must be ivf_candidates(...)
+    or a row-identical wrapper such as an observed copy)."""
     scored = (
-        # bcast-audit: bounded (probe list ∝ query set)
-        cells.join(F.broadcast(probes), "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
+        (ivf_candidates(cells, probes) if cand is None else cand)
         .select(
             "qid",
             "vec_id",

@@ -23,7 +23,7 @@ runs this curve per retrain and picks the knee."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_mapreduce_spark.operators import similarity
@@ -124,15 +124,18 @@ def nprobe_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
             .filter(F.col("cid").isin(cids))
         )
-        # bcast-audit: bounded (probe list ∝ query set)
-        cand = cells.join(F.broadcast(probes), "cid").filter(
-            F.col("vec_id") != F.col("qid")
+        # n_probed is observed on the rerank's OWN candidate stream (r15;
+        # guide §2.4): the old cand.count() was a second full scan of the
+        # probed cells per curve point just for one scalar
+        obs = Observation()
+        cand = similarity.ivf_candidates(cells, probes).observe(
+            obs, F.count(F.lit(1)).alias("n")
         )
-        n_probed = cand.count()  # bounded scalar
-        topk = similarity.ivf_rerank(cells, probes, k=TOP_K).select(
-            "qid", "vec_id"
-        )
+        topk = similarity.ivf_rerank(
+            cells, probes, k=TOP_K, cand=cand
+        ).select("qid", "vec_id")
         n_hits = topk.join(exact, ["qid", "vec_id"]).count()  # bounded
+        n_probed = obs.get["n"]
         rows.append(
             (
                 np,

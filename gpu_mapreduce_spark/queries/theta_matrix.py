@@ -123,7 +123,11 @@ def theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix — sketches, thetas, survivor counts and estimates all
     gate-hashed; see module docstring."""
     docs = table(spark, sf_dir, "documents")
-    sh = dedup.shingle_set(docs).join(
+    # widen before the compute-bound shingle pass (r15; the
+    # textstats._wide discipline)
+    from gpu_mapreduce_spark.queries.textstats import _wide
+
+    sh = dedup.shingle_set(_wide(docs)).join(
         docs.select("doc_id", F.col("source").alias("src")), "doc_id"
     )
     hs = sh.select("src", hash60(F.col("sh")).alias("h")).distinct()

@@ -102,7 +102,12 @@ def kmv_sketch_pair(docs: DataFrame, k: int = _K) -> tuple[list[int], list[int]]
     both = docs.filter(
         (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)
     )
-    sh = dedup.shingle_set(both)
+    # widen before the compute-bound shingle pass (r15; the
+    # textstats._wide discipline — one input split at test scale
+    # otherwise serializes the whole pass on one task)
+    from gpu_mapreduce_spark.queries.textstats import _wide
+
+    sh = dedup.shingle_set(_wide(both))
     tagged = sh.select(
         F.explode(
             F.expr(
